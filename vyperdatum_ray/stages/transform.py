@@ -1,0 +1,133 @@
+"""DatumTransformer: the per-region vertical-datum transform
+(SURVEY.md M1-M5, A3, T2/T3).
+
+A stateful actor-pool stage: separation grids, parsed per-region
+pipelines and composed per-region uncertainties are prepared ONCE per
+actor in ``__init__``; ``__call__`` is pure vectorized numpy per Arrow
+batch.
+
+Semantics re-expressed from ``reference/vyperdatum/core.py:357-462``:
+
+* input z sign-flipped when the input CRS is a depth
+  (``core.py:397-399``); output flip = +1 height / -1 depth
+  (``core.py:400-403``),
+* per region, in catalog order: optional horizontal hop to the region's
+  geoid frame (``core.py:426-429`` — here a constant-offset stand-in,
+  see Catalog), run the composed grid-shift pipeline
+  (forward: z - grid, inverse: z + grid, cf. ``raster.py:278-285``),
+* points outside a grid evaluate to +inf; only finite results are
+  written into the answer arrays so later regions overwrite earlier
+  ones ONLY where they are valid (``core.py:445-453``),
+* per-region scalar uncertainty stamped on valid rows
+  (``core.py:313-355``), region_index = catalog position (int8, -1
+  outside all coverage, ``core.py:415``),
+* final z rounded to 3 decimals (``core.py:462``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from vyperdatum_ray.core.pipeline_algebra import get_regional_pipeline, parse_pipeline
+from vyperdatum_ray.core.uncertainty import compose_uncertainty
+
+
+class DatumTransformer:
+    def __init__(
+        self,
+        catalog_ref,
+        from_datum: str = "ellipse",
+        to_datum: str = "mllw",
+        in_is_height: bool = True,
+        out_is_height: bool = False,
+        z_col: str | None = None,
+        out_col: str = "z_out",
+    ) -> None:
+        self.catalog = ray.get(catalog_ref) if isinstance(catalog_ref, ray.ObjectRef) else catalog_ref
+        self.from_datum = from_datum
+        self.to_datum = to_datum
+        self.in_is_height = in_is_height
+        self.flip = 1.0 if out_is_height else -1.0
+        self.z_col = z_col
+        self.out_col = out_col
+
+        # Per-region prepared state: pipeline steps (with GEOID/REGION
+        # substituted), grids resolved, uncertainty composed.
+        self.region_steps = []
+        self.region_unc = []
+        self.region_dlonlat = []
+        for r in self.catalog.regions:
+            pipeline = get_regional_pipeline(from_datum, to_datum, r.name, r.geoid_name)
+            steps = parse_pipeline(pipeline)
+            missing = [s for s in steps if s.grid_key not in self.catalog.grids]
+            if missing:
+                # invalid pipeline -> region skipped entirely
+                # (reference core.py:430-433)
+                self.region_steps.append(None)
+            else:
+                self.region_steps.append(
+                    [(self.catalog.grids[s.grid_key], s.sign) for s in steps]
+                )
+            self.region_unc.append(
+                compose_uncertainty(
+                    from_datum,
+                    to_datum,
+                    self.catalog.sigmas.get(r.name, {}),
+                    self.catalog.geoid_sigmas.get(r.geoid_name, 0.0),
+                )
+            )
+            from vyperdatum_ray.catalog import INPUT_FRAME
+
+            if r.geoid_frame != INPUT_FRAME:
+                self.region_dlonlat.append((r.frame_dlon, r.frame_dlat))
+            else:
+                self.region_dlonlat.append((0.0, 0.0))
+        self.region_names = np.array([r.name for r in self.catalog.regions], dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        mask = batch.column("region_mask").to_numpy(zero_copy_only=False)
+        n = len(lon)
+        if self.z_col is not None:
+            z_in = batch.column(self.z_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            z_in = np.zeros(n, dtype=np.float64)
+        if not self.in_is_height:
+            z_in = z_in * -1.0  # depth -> height (core.py:397-399)
+
+        ans_z = np.full(n, np.nan, dtype=np.float64)
+        ans_unc = np.full(n, np.nan, dtype=np.float64)
+        ans_region = np.full(n, -1, dtype=np.int8)
+
+        for i, steps in enumerate(self.region_steps):
+            if steps is None:
+                continue
+            member = (mask >> np.uint64(i)) & np.uint64(1) == 1
+            if not member.any():
+                continue
+            idx = np.nonzero(member)[0]
+            dlon, dlat = self.region_dlonlat[i]
+            rlon = lon[idx] + dlon if dlon else lon[idx]
+            rlat = lat[idx] + dlat if dlat else lat[idx]
+            z = z_in[idx].copy()
+            for grid, sign in steps:
+                z = z + sign * grid.interpolate(rlon, rlat)
+            valid = ~np.isinf(z)
+            w = idx[valid]
+            ans_z[w] = self.flip * z[valid]
+            ans_unc[w] = self.region_unc[i]
+            ans_region[w] = i
+
+        ans_z = np.round(ans_z, 3)  # core.py:462
+        covered = ans_region >= 0
+        region_str = np.where(covered, self.region_names[np.maximum(ans_region, 0)], "")
+        return (
+            batch.append_column(self.out_col, pa.array(ans_z, pa.float64()))
+            .append_column("unc", pa.array(ans_unc, pa.float64()))
+            .append_column("region_index", pa.array(ans_region, pa.int8()))
+            .append_column("region", pa.array(region_str, pa.string()))
+        )
