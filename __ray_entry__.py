@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline at sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL (same column names) for
+every SQL-expressible query. Ray is initialised by the driver before
+this module is imported — nothing here calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The geospatial queries run over the deterministic synthetic ``pages``
+table + region/grid catalog (BASELINE.json input_hint schema) generated
+by ``vyperdatum_ray.fixtures`` under /tmp/vdr_data/<sf>/ — the oracle
+SQL reads the same parquet files, so both sides see identical inputs.
 """
 
 from __future__ import annotations
@@ -18,27 +17,117 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.01"
+
+
+def _fx(sf_dir: str = _SF001) -> str:
+    from vyperdatum_ray.fixtures import ensure_fixtures, fixture_dir
+
+    ensure_fixtures(sf_dir)
+    return fixture_dir(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (geocode -> cells -> PIP join -> datum
+    transform) on sf0.001."""
+    from vyperdatum_ray.pipelines.queries import q_flagship
+
+    return q_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from vyperdatum_ray.pipelines import ann, multimodal, queries as q, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _fx(_SF001)  # make sure oracle inputs exist even if only SQL runs
+    return {
+        # --- flagship geospatial surface (SURVEY.md §2.2-2.5) ---
+        "geocode": q.q_geocode,
+        "text_passthrough": q.q_text_passthrough,
+        "tile_assign": q.q_tile_assign,
+        "cell_index": q.q_cell_index,
+        "tile_counts": q.q_tile_counts,
+        "extent": q.q_extent,
+        "region_join": q.q_region_join,
+        "region_counts": q.q_region_counts,
+        "datum_transform": q.q_datum_transform,
+        "transform_summary": q.q_transform_summary,
+        "knn_grid_node": q.q_knn_grid_node,
+        "flagship": q.q_flagship,
+        # --- relational operator surface (O1/A1-A5 analogues) ---
+        "tpch_q1": relational.q_tpch_q1,
+        "orders_customer_join": relational.q_orders_customer_join,
+        "top_orders": relational.q_top_orders,
+        "events_window": relational.q_events_window,
+        # --- training-data operators ---
+        "dedup_exact": textops.q_dedup_exact,
+        "dedup_normalized": textops.q_dedup_normalized,
+        "token_count": textops.q_token_count,
+        "quality_score": textops.q_quality_score,
+        "langid": textops.q_langid,
+        "simhash": textops.q_simhash,
+        "fingerprint": textops.q_fingerprint,
+        "minhash_pairs": textops.q_minhash_pairs,
+        "html_stats": textops.q_html_stats,
+        "ann_topk": ann.q_ann_topk,
+        "ann_ivf": ann.q_ann_ivf,
+        "multimodal_decode": multimodal.q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vyperdatum_ray.pipelines.relational import ORACLES as REL
+    from vyperdatum_ray import oracle
+
+    fx = _fx(_SF001)
+    return {
+        "geocode": oracle.q_geocode(fx),
+        "text_passthrough": oracle.q_text_passthrough(fx),
+        "tile_assign": oracle.q_tile_assign(fx),
+        "tile_counts": oracle.q_tile_counts(fx),
+        "extent": oracle.q_extent(fx),
+        "region_join": oracle.q_region_join(fx),
+        "region_counts": oracle.q_region_counts(fx),
+        "datum_transform": oracle.q_datum_transform(fx),
+        "transform_summary": oracle.q_transform_summary(fx),
+        "knn_grid_node": oracle.q_knn_grid_node(fx),
+        **REL,
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "dedup_normalized": (
+            f"SELECT min(url) AS url, count(*) AS n_dups "
+            f"FROM read_parquet('{fx}/pages/*.parquet') "
+            r"GROUP BY regexp_replace(text, '[0-9]+(\.[0-9]+)?', '#', 'g')"
+        ),
+        "token_count": (
+            r"SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            r"CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+            r"CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space, "
+            "CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct "
+            "FROM documents"
+        ),
+        "html_stats": (
+            f"SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes "
+            f"FROM read_parquet('{fx}/pages/*.parquet')"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 10), "
+            "sims AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT qid, vec_id, "
+            "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn "
+            "FROM sims) "
+            "SELECT qid AS query_id, rn AS rank, vec_id AS neighbor_id "
+            "FROM ranked WHERE rn <= 10"
+        ),
+        # cell_index / flagship / langid / simhash / fingerprint /
+        # minhash_pairs / ann_ivf / multimodal_decode: engine-defined
+        # outputs (cell-id math, sketches, fakes) -> rows-only check.
+    }

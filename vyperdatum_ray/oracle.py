@@ -1,0 +1,225 @@
+"""DuckDB oracle SQL for the SQL-checkable pipelines.
+
+Each function returns an ANSI-SQL string that reproduces the matching
+Ray pipeline *bit-exactly* on the same fixture parquet files:
+
+* float parsing: both sides parse the same coordinate strings with
+  correctly-rounded decimal->double conversion,
+* PIP: convex-region membership via the half-plane edge table (the
+  engine's ray-cast agrees everywhere except a ~1e-12 boundary band —
+  see tests/test_geometry.py),
+* bilinear interpolation / pipeline composition / uncertainty sums /
+  3-decimal rounding: written in the exact operation order the numpy
+  kernels use (verified bit-exact in tests/test_oracle_parity.py).
+
+The fixture dir must exist before the SQL runs; ``oracle_sql()`` in
+``__ray_entry__`` ensures generation.
+"""
+
+from __future__ import annotations
+
+from vyperdatum_ray.core.geocode import TEXT_PATTERN, URL_PATH_PATTERN, URL_QUERY_PATTERN
+
+
+def _geo_cte(fx: str) -> str:
+    """CTE `geo`: geocoded pages (url, warc_ts, text, lang, lat, lon,
+    geocode_src) — mirrors stages/geocode.py precedence exactly."""
+    uq, up, tx = URL_QUERY_PATTERN, URL_PATH_PATTERN, TEXT_PATTERN
+    return f"""
+pages AS (SELECT * FROM read_parquet('{fx}/pages/*.parquet')),
+geo0 AS (
+  SELECT url, warc_ts, text, lang,
+    TRY_CAST(regexp_extract(url, '{uq}', 1) AS DOUBLE) AS q_lat,
+    TRY_CAST(regexp_extract(url, '{uq}', 2) AS DOUBLE) AS q_lon,
+    TRY_CAST(regexp_extract(url, '{up}', 1) AS DOUBLE) AS p_lat,
+    TRY_CAST(regexp_extract(url, '{up}', 2) AS DOUBLE) AS p_lon,
+    TRY_CAST(regexp_extract(text, '{tx}', 1) AS DOUBLE)
+      * (CASE WHEN regexp_extract(text, '{tx}', 2) = 'S' THEN -1.0 ELSE 1.0 END) AS t_lat,
+    TRY_CAST(regexp_extract(text, '{tx}', 3) AS DOUBLE)
+      * (CASE WHEN regexp_extract(text, '{tx}', 4) = 'W' THEN -1.0 ELSE 1.0 END) AS t_lon
+  FROM pages
+),
+geo AS (
+  SELECT url, warc_ts, text, lang,
+    COALESCE(q_lat, p_lat, t_lat) AS lat,
+    COALESCE(q_lon, p_lon, t_lon) AS lon,
+    CASE WHEN q_lat IS NOT NULL THEN 'url_query'
+         WHEN p_lat IS NOT NULL THEN 'url_path'
+         WHEN t_lat IS NOT NULL THEN 'text' END AS geocode_src
+  FROM geo0
+  WHERE q_lat IS NOT NULL OR p_lat IS NOT NULL OR t_lat IS NOT NULL
+)"""
+
+
+def _memb_cte(fx: str) -> str:
+    """CTE `memb`: (url, region, region_ord) for every containing convex
+    region — all half-planes satisfied."""
+    return f"""
+edges AS (SELECT * FROM read_parquet('{fx}/region_edges.parquet')),
+memb AS (
+  SELECT g.url, e.region, e.region_ord
+  FROM geo g CROSS JOIN edges e
+  GROUP BY g.url, g.lat, g.lon, e.region, e.region_ord
+  HAVING max(e.ax * g.lon + e.ay * g.lat - e.b) <= 0
+)"""
+
+
+def _transform_ctes(fx: str) -> str:
+    """CTEs computing per-(point, region) z for the ellipse->mllw
+    pipeline (geoid forward, tss inverse, mllw forward) plus composed
+    uncertainty, with grid-coverage validity."""
+    return f"""
+rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
+gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
+gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
+sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
+gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+tr AS (
+  SELECT m.url, m.region, m.region_ord, g.lat, g.lon,
+         g.lon + rc.frame_dlon AS slon, g.lat + rc.frame_dlat AS slat,
+         rc.geoid_name
+  FROM memb m
+  JOIN rcat rc ON rc.region = m.region
+  JOIN geo g ON g.url = m.url
+),
+samp AS (
+  SELECT t.*, s.surface, s.sgn,
+    CASE WHEN s.surface = 'geoid' THEN t.geoid_name
+         ELSE t.region || '/' || s.surface END AS grid_key
+  FROM tr t
+  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
+),
+sampq AS (
+  SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
+    samp.grid_key, gm.nx, gm.ny,
+    (samp.slon - gm.origin_x) / gm.dx AS gx,
+    (samp.slat - gm.origin_y) / gm.dy AS gy,
+    CAST(LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0,
+    (samp.slon - gm.origin_x) / gm.dx
+      - LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS fx,
+    (samp.slat - gm.origin_y) / gm.dy
+      - LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS fy
+  FROM samp JOIN gmeta gm ON gm.grid_key = samp.grid_key
+),
+interp AS (
+  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn,
+    (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
+      + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
+    (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
+     AND q.gx >= 0 AND q.gx <= q.nx - 1 AND q.gy >= 0 AND q.gy <= q.ny - 1) AS ok
+  FROM sampq q
+  LEFT JOIN gvals a ON a.grid_key = q.grid_key AND a.ix = q.ix0 AND a.iy = q.iy0
+  LEFT JOIN gvals b ON b.grid_key = q.grid_key AND b.ix = q.ix0 + 1 AND b.iy = q.iy0
+  LEFT JOIN gvals c ON c.grid_key = q.grid_key AND c.ix = q.ix0 AND c.iy = q.iy0 + 1
+  LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
+),
+zr AS (
+  SELECT url, region, region_ord,
+    max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
+    max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
+    max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
+    bool_and(ok) AS ok_all
+  FROM interp
+  GROUP BY url, region, region_ord
+),
+zwin AS (
+  SELECT z.url, z.region, z.region_ord,
+    round(-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw), 3) AS z_out,
+    gs.sigma + s.tss + s.mllw AS unc,
+    row_number() OVER (PARTITION BY z.url ORDER BY z.region_ord DESC) AS rn
+  FROM zr z
+  JOIN rcat rc ON rc.region = z.region
+  JOIN sig s ON s.region = z.region
+  JOIN gsig gs ON gs.geoid_name = rc.geoid_name
+  WHERE z.ok_all
+)"""
+
+
+def q_geocode(fx: str) -> str:
+    return f"WITH {_geo_cte(fx)} SELECT url, lat, lon, geocode_src FROM geo"
+
+
+def q_text_passthrough(fx: str) -> str:
+    return f"WITH {_geo_cte(fx)} SELECT url, text, lang FROM geo"
+
+
+def q_tile_assign(fx: str) -> str:
+    return (
+        f"WITH {_geo_cte(fx)} SELECT url, "
+        "CAST(floor((lat + 90.0) / 0.25) AS BIGINT) * 4096 "
+        "+ CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS tile_id FROM geo"
+    )
+
+
+def q_tile_counts(fx: str) -> str:
+    return (
+        f"WITH {_geo_cte(fx)} SELECT "
+        "CAST(floor((lat + 90.0) / 0.25) AS BIGINT) * 4096 "
+        "+ CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS tile_id, "
+        "count(*) AS n_rows FROM geo GROUP BY tile_id"
+    )
+
+
+def q_extent(fx: str) -> str:
+    return (
+        f"WITH {_geo_cte(fx)} SELECT min(lon) AS min_x, min(lat) AS min_y, "
+        "max(lon) AS max_x, max(lat) AS max_y FROM geo"
+    )
+
+
+def q_region_join(fx: str) -> str:
+    """PIP membership winner by catalog order (before grid fallback):
+    region_index = max containing region_ord, -1 / '' when none."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)},
+win AS (
+  SELECT url, max(region_ord) AS region_ord FROM memb GROUP BY url
+),
+winr AS (
+  SELECT w.url, m.region, w.region_ord
+  FROM win w JOIN memb m ON m.url = w.url AND m.region_ord = w.region_ord
+)
+SELECT g.url, COALESCE(wr.region, '') AS region,
+  CAST(COALESCE(wr.region_ord, -1) AS TINYINT) AS pip_region_index
+FROM geo g LEFT JOIN winr wr ON wr.url = g.url"""
+
+
+def q_region_counts(fx: str) -> str:
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)},
+win AS (SELECT url, max(region_ord) AS region_ord FROM memb GROUP BY url),
+winr AS (
+  SELECT w.url, m.region FROM win w
+  JOIN memb m ON m.url = w.url AND m.region_ord = w.region_ord
+)
+SELECT region, count(*) AS n_points FROM winr GROUP BY region"""
+
+
+def q_datum_transform(fx: str) -> str:
+    """The flagship transform, covered rows only (grid-valid winner by
+    catalog order; NaN rows excluded so value-hashing is well-defined)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT g.url, g.lat, g.lon, w.region,
+  CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w JOIN geo g ON g.url = w.url
+WHERE w.rn = 1"""
+
+
+def q_transform_summary(fx: str) -> str:
+    """Per-region aggregate of the transform output (exercises the
+    groupby path on top of the full transform)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT region, count(*) AS n_points,
+  round(sum(z_out), 3) AS sum_z, round(sum(unc), 3) AS sum_unc
+FROM zwin WHERE rn = 1 GROUP BY region"""
+
+
+def q_knn_grid_node(fx: str) -> str:
+    """Nearest geoid-grid node per geocoded point (J5, k=1 SQL-checkable
+    case; rint half-even == DuckDB round-half-even on .5 grid coords is
+    avoided by the 5-decimal coordinate lattice)."""
+    return f"""WITH {_geo_cte(fx)},
+gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet') WHERE grid_key = 'sgeoid12x')
+SELECT g.url,
+  CAST(LEAST(GREATEST(round((g.lon - gm.origin_x) / gm.dx, 0), 0), gm.nx - 1) AS BIGINT) AS node_ix,
+  CAST(LEAST(GREATEST(round((g.lat - gm.origin_y) / gm.dy, 0), 0), gm.ny - 1) AS BIGINT) AS node_iy
+FROM geo g CROSS JOIN gmeta gm"""

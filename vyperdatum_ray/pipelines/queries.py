@@ -1,0 +1,209 @@
+"""Geospatial query implementations (the SQL-checkable surface of the
+flagship pipeline). Each function takes ``sf_dir`` and returns a lazy
+``ray.data.Dataset`` whose columns match the DuckDB oracle in
+``vyperdatum_ray/oracle.py`` name-for-name and bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from vyperdatum_ray.pipelines.flagship import (
+    flagship_pipeline,
+    geocoded_pages,
+    load_catalog,
+)
+from vyperdatum_ray.stages.geocode import geocode_batch, keep_geocoded
+
+
+def _geo(sf_dir: str) -> ray.data.Dataset:
+    """pages -> geocode -> filter (no cell index; cheapest SQL-checkable
+    prefix)."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "warc_ts", "text", "lang"])
+    ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
+    return ds.map_batches(keep_geocoded, batch_format="pyarrow")
+
+
+def q_geocode(sf_dir: str) -> ray.data.Dataset:
+    return _geo(sf_dir).select_columns(["url", "lat", "lon", "geocode_src"])
+
+
+def q_text_passthrough(sf_dir: str) -> ray.data.Dataset:
+    """Byte-identical text per url through the pipeline (input_hint
+    invariant)."""
+    return _geo(sf_dir).select_columns(["url", "text", "lang"])
+
+
+def q_tile_assign(sf_dir: str) -> ray.data.Dataset:
+    from vyperdatum_ray.stages.cellindex import cell_index_batch
+
+    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    return ds.select_columns(["url", "tile_id"])
+
+
+def q_cell_index(sf_dir: str) -> ray.data.Dataset:
+    """S2 + hex cells (rows-only check: cell-id math is not expressible
+    in ANSI SQL)."""
+    from vyperdatum_ray.stages.cellindex import cell_index_batch
+
+    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    return ds.select_columns(["url", "h3_9", "s2_13", "tile_id"])
+
+
+def q_tile_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-tile row counts (O5 tile manifest). Two-phase aggregation:
+    vectorized per-batch partial counts (combiner — this is what keeps
+    skewed hot tiles from melting the shuffle, A5), then a small
+    groupby-sum over partials."""
+    from vyperdatum_ray.stages.cellindex import cell_index_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tid, cnt = np.unique(batch.column("tile_id").to_numpy(), return_counts=True)
+        return pa.table({"tile_id": tid, "partial_n": cnt.astype(np.int64)})
+
+    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("tile_id").aggregate(Sum("partial_n", alias_name="n_rows"))
+    return out
+
+
+def q_extent(sf_dir: str) -> pd.DataFrame:
+    """Global extent (A1) via distributed tree-aggregate."""
+    res = _geo(sf_dir).aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
+    return pd.DataFrame(
+        [
+            {
+                "min_x": res["min(lon)"],
+                "min_y": res["min(lat)"],
+                "max_x": res["max(lon)"],
+                "max_y": res["max(lat)"],
+            }
+        ]
+    )
+
+
+def _with_pip_region(sf_dir: str) -> ray.data.Dataset:
+    from vyperdatum_ray.stages.region_join import RegionJoiner
+
+    catalog = load_catalog(sf_dir)
+    names = np.array([""] + catalog.region_names, dtype=object)
+    catalog_ref = ray.put(catalog)
+    ds = _geo(sf_dir).map_batches(
+        RegionJoiner,
+        fn_constructor_kwargs={"catalog_ref": catalog_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def name_region(batch: pa.Table) -> pa.Table:
+        idx = batch.column("pip_region_index").to_numpy(zero_copy_only=False)
+        return batch.append_column("region", pa.array(names[idx.astype(np.int64) + 1], pa.string()))
+
+    return ds.map_batches(name_region, batch_format="pyarrow")
+
+
+def q_region_join(sf_dir: str) -> ray.data.Dataset:
+    return _with_pip_region(sf_dir).select_columns(["url", "region", "pip_region_index"])
+
+
+def q_region_counts(sf_dir: str) -> ray.data.Dataset:
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater_equal(batch.column("pip_region_index"), 0))
+        reg, cnt = np.unique(t.column("region").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"region": pa.array(reg, pa.string()), "partial_n": cnt.astype(np.int64)})
+
+    ds = _with_pip_region(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("region").aggregate(Sum("partial_n", alias_name="n_points"))
+
+
+def q_datum_transform(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    ds = flagship_pipeline(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "lat", "lon", "region", "region_index", "z_out", "unc"])
+
+
+def q_flagship(sf_dir: str) -> ray.data.Dataset:
+    """Full output schema incl. cells, mask and NaN/-1 rows (rows-only
+    check; the SQL-checkable projection is q_datum_transform)."""
+    return flagship_pipeline(sf_dir)
+
+
+def q_transform_summary(sf_dir: str) -> ray.data.Dataset:
+    """Per-region sums of the transform output. z_out/unc are 3-decimal
+    quantities, so sums rounded to 3 decimals are distribution-order
+    independent (see oracle.py docstring)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("region_index"), 0))
+        df = t.select(["region", "z_out", "unc"]).to_pandas()
+        g = df.groupby("region", as_index=False).agg(
+            partial_n=("z_out", "size"), partial_z=("z_out", "sum"), partial_unc=("unc", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("region").aggregate(
+        Sum("partial_n", alias_name="n_points"),
+        Sum("partial_z", alias_name="sum_z_raw"),
+        Sum("partial_unc", alias_name="sum_unc_raw"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region": batch.column("region"),
+                "n_points": batch.column("n_points"),
+                "sum_z": pa.array(np.round(batch.column("sum_z_raw").to_numpy(), 3)),
+                "sum_unc": pa.array(np.round(batch.column("sum_unc_raw").to_numpy(), 3)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
+    """Nearest geoid-grid node per point (J5, k=1)."""
+    catalog = load_catalog(sf_dir)
+    grid = catalog.grids["sgeoid12x"]
+    gref = ray.put(grid)
+
+    class NearestNode:
+        def __init__(self, gref):
+            self.grid = ray.get(gref) if isinstance(gref, ray.ObjectRef) else gref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            ix, iy = self.grid.nearest_node(lon, lat)
+            return pa.table(
+                {
+                    "url": batch.column("url"),
+                    "node_ix": pa.array(ix, pa.int64()),
+                    "node_iy": pa.array(iy, pa.int64()),
+                }
+            )
+
+    return _geo(sf_dir).map_batches(
+        NearestNode,
+        fn_constructor_kwargs={"gref": gref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

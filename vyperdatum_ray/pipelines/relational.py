@@ -1,0 +1,193 @@
+"""Relational operator demonstrations over the driver's TPC-H-ish
+tables: grouped aggregation with per-batch combining, broadcast hash
+join, multi-key sort + limit, and event-time windowed aggregation.
+
+These exercise the generic Dataset operator surface (SURVEY.md §2.5/2.6
+plus the streaming-shaped events pattern) with exact DuckDB oracles.
+All money/quantity sums are rounded to 2 decimals: the inputs are
+2-decimal quantities, so group sums are (decimal) multiples of 0.01 and
+rounding makes them independent of float summation order across
+partitions.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def q_tpch_q1(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary: filter -> per-batch partial
+    aggregation (combiner) -> small groupby-sum -> rounding."""
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 2), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+                "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
+                "qty": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+                "price": price,
+                "disc_price": price * (1.0 - disc),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("qty", "sum"), p_price=("price", "sum"),
+            p_disc=("disc_price", "sum"), p_n=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("p_qty", alias_name="r_qty"),
+        Sum("p_price", alias_name="r_price"),
+        Sum("p_disc", alias_name="r_disc"),
+        Sum("p_n", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": np.round(batch.column("r_qty").to_numpy(), 2),
+                "sum_base_price": np.round(batch.column("r_price").to_numpy(), 2),
+                "sum_disc_price": np.round(batch.column("r_disc").to_numpy(), 2),
+                "count_order": batch.column("count_order"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join: customer (small side) is ray.put once and
+    looked up per batch — no shuffle (SURVEY.md §2.4 pattern)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        pd.Series(cust["c_mktsegment"].to_numpy(), index=cust["c_custkey"].to_numpy())
+    )
+
+    class JoinSegment:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            seg = self.lookup.reindex(keys).to_numpy()  # vectorized probe
+            df = pd.DataFrame(
+                {"c_mktsegment": seg,
+                 "price": batch.column("o_totalprice").to_numpy(zero_copy_only=False)}
+            )
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                p_n=("price", "size"), p_sum=("price", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = ds.map_batches(
+        JoinSegment, fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).groupby("c_mktsegment").aggregate(
+        Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="r_sum")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n_orders"),
+                "sum_totalprice": np.round(batch.column("r_sum").to_numpy(), 2),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Distributed sort + limit with a deterministic tie-break."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def q_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling event-time window (1h) per user and event type —
+    Ray Data has no watermarks; batch semantics over the full log
+    (SURVEY.md §2.8): floor ts to the window, two-phase aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "hour": hour.to_numpy(zero_copy_only=False),
+                "event_type": batch.column("event_type").to_numpy(zero_copy_only=False),
+                "value": batch.column("value").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["user_id", "hour", "event_type"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "hour", "event_type"]
+    ).aggregate(Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="r_sum"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "hour": batch.column("hour"),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+                "sum_value": np.round(batch.column("r_sum").to_numpy(), 2),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+ORACLES = {
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    "orders_customer_join": """
+SELECT c_mktsegment, count(*) AS n_orders,
+  round(sum(o_totalprice), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+    "top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "events_window": """
+SELECT user_id, date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, hour, event_type""",
+}
