@@ -36,7 +36,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from vyperdatum_ray.pipelines import ann, multimodal, queries as q, relational, textops
+    from vyperdatum_ray.pipelines import ann, multimodal, queries as q, raster, relational, textops
 
     _fx(_SF001)  # make sure oracle inputs exist even if only SQL runs
     return {
@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
         "flagship": q.q_flagship,
+        # --- raster path (M7/M8, J1/J3, A2, O5) ---
+        "raster_valid_counts": raster.q_raster_valid_counts,
+        "raster_sep": raster.q_raster_sep,
+        "raster_transform": raster.q_raster_transform,
+        "raster_tile_manifest": raster.q_raster_tile_manifest,
         # --- relational operator surface (O1/A1-A5 analogues) ---
         "tpch_q1": relational.q_tpch_q1,
         "orders_customer_join": relational.q_orders_customer_join,
@@ -90,6 +95,10 @@ def oracle_sql() -> dict[str, str]:
         "datum_transform": oracle.q_datum_transform(fx),
         "transform_summary": oracle.q_transform_summary(fx),
         "knn_grid_node": oracle.q_knn_grid_node(fx),
+        "raster_valid_counts": oracle.q_raster_valid_counts(fx),
+        "raster_sep": oracle.q_raster_sep(fx),
+        "raster_transform": oracle.q_raster_transform(fx),
+        "raster_tile_manifest": oracle.q_raster_tile_manifest(fx),
         **REL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 3  # bump to invalidate caches
+FIXTURE_VERSION = 4  # bump to invalidate caches
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
@@ -108,6 +108,7 @@ def ensure_fixtures(sf_dir: str) -> dict:
     n = n_pages_for(sf_name)
     _write_catalog(tmp_dir)
     page_files = _write_pages(tmp_dir, sf_name, n)
+    raster_meta = _write_raster(tmp_dir, sf_name)
     manifest = {
         "fixture_version": FIXTURE_VERSION,
         "sf_name": sf_name,
@@ -115,6 +116,7 @@ def ensure_fixtures(sf_dir: str) -> dict:
         "dir": out_dir,
         "pages": [os.path.join(out_dir, "pages", os.path.basename(p)) for p in page_files],
         "catalog_dir": out_dir,
+        "raster_meta": raster_meta,
     }
     with open(os.path.join(tmp_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -246,6 +248,75 @@ def _write_catalog(out_dir: str) -> None:
         ),
         os.path.join(out_dir, "sigma_geoid.parquet"),
     )
+
+
+# ------------------------------------------------------------- raster ---
+
+# Raster extent: overlaps regions A, B and D (C lies fully north of it)
+# and contains the B/tss NaN notch plus open water outside every region.
+RASTER_EXTENT = (-75.7, 34.35, -73.7, 35.95)  # x0, y0, x1, y1
+RASTER_TILE = 128  # tile side (cells) for the per-tile parquet output
+
+
+def raster_cells_for(sf_name: str) -> int:
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(2304, int(round(2_400_000 * sf)))
+
+
+def _write_raster(out_dir: str, sf_name: str) -> dict:
+    """Long-form synthetic raster (S1 stand-in): one row per cell with
+    (row, col, elevation, uncertainty, contributor); cell-center coords
+    are ``origin + (index + 0.5) * d``. Elevation is an analytic height
+    field (metres, ellipsoid) with a deterministic ~2% nodata speckle;
+    the source-uncertainty band is strictly positive; contributor is a
+    small integer id. Metadata goes to raster_meta.{json,parquet}."""
+    x0, y0, x1, y1 = RASTER_EXTENT
+    side = int(round(raster_cells_for(sf_name) ** 0.5))
+    ncols = nrows = side
+    dx = (x1 - x0) / ncols
+    dy = (y1 - y0) / nrows
+
+    col, row = np.meshgrid(np.arange(ncols, dtype=np.int32), np.arange(nrows, dtype=np.int32))
+    col = col.ravel()
+    row = row.ravel()
+    lon = x0 + (col.astype(np.float64) + 0.5) * dx
+    lat = y0 + (row.astype(np.float64) + 0.5) * dy
+
+    elev = (
+        -20.0
+        + 8.0 * np.sin(3.0 * lon)
+        + 6.0 * np.cos(2.5 * lat)
+        + 1.5 * np.sin(11.0 * lon + 7.0 * lat)
+    )
+    speckle = (row.astype(np.int64) * 73856093 + col.astype(np.int64) * 19349663) % 47 == 0
+    elev = np.where(speckle, np.nan, np.round(elev, 3))
+    unc = np.round(0.10 + 0.05 * np.abs(np.sin(2.0 * lon) * np.cos(3.0 * lat)), 3)
+    contrib = ((row.astype(np.int64) * ncols + col.astype(np.int64)) % 7).astype(np.float64)
+
+    pq.write_table(
+        pa.table(
+            {
+                "row": pa.array(row, pa.int32()),
+                "col": pa.array(col, pa.int32()),
+                "elevation": pa.array(elev, pa.float64()),
+                "uncertainty": pa.array(unc, pa.float64()),
+                "contributor": pa.array(contrib, pa.float64()),
+            }
+        ),
+        os.path.join(out_dir, "raster_cells.parquet"),
+        row_group_size=65536,
+    )
+    meta = dict(
+        origin_x=x0, origin_y=y0, dx=dx, dy=dy, ncols=ncols, nrows=nrows,
+        tile=RASTER_TILE, in_is_height=True, out_is_height=False,
+    )
+    with open(os.path.join(out_dir, "raster_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    pq.write_table(pa.Table.from_pylist([meta]), os.path.join(out_dir, "raster_meta.parquet"))
+    return meta
 
 
 # -------------------------------------------------------------- pages ---

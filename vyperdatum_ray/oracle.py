@@ -21,6 +21,23 @@ from __future__ import annotations
 from vyperdatum_ray.core.geocode import TEXT_PATTERN, URL_PATH_PATTERN, URL_QUERY_PATTERN
 
 
+def _r3(e: str) -> str:
+    """SQL expression bit-identical to ``np.round(e, 3)``: numpy rounds
+    via ``rint(x * 1000.0) / 1000.0`` with ties-to-even ON THE BINARY
+    PRODUCT — which differs from DuckDB's decimal-aware round/round_even
+    whenever the decimal tie (e.g. 4.6065) isn't an exact double.
+    Emulated with exact double comparisons, so the oracle matches numpy
+    on every input."""
+    y = f"(({e}) * 1000.0)"
+    f = f"floor({y})"
+    return (
+        f"((CASE WHEN {y} - {f} > 0.5 THEN {f} + 1 "
+        f"WHEN {y} - {f} < 0.5 THEN {f} "
+        f"WHEN {f} / 2 = floor({f} / 2) THEN {f} "
+        f"ELSE {f} + 1 END) / 1000.0)"
+    )
+
+
 def _geo_cte(fx: str) -> str:
     """CTE `geo`: geocoded pages (url, warc_ts, text, lang, lat, lon,
     geocode_src) — mirrors stages/geocode.py precedence exactly."""
@@ -125,7 +142,7 @@ zr AS (
 ),
 zwin AS (
   SELECT z.url, z.region, z.region_ord,
-    round(-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw), 3) AS z_out,
+    {_r3("-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw)")} AS z_out,
     gs.sigma + s.tss + s.mllw AS unc,
     row_number() OVER (PARTITION BY z.url ORDER BY z.region_ord DESC) AS rn
   FROM zr z
@@ -134,6 +151,127 @@ zwin AS (
   JOIN gsig gs ON gs.geoid_name = rc.geoid_name
   WHERE z.ok_all
 )"""
+
+
+def _raster_ctes(fx: str) -> str:
+    """CTEs for the raster path: cell centers, bbox-candidate regions
+    (J1), per-region bilinear sep (ellipse->mllw), global valid counts
+    (A2) and the ascending-count stack winner per cell (J3: most-valid
+    region wins overlaps; ties -> later catalog region, matching the
+    engine's stable ascending sort)."""
+    return f"""
+rmeta AS (SELECT * FROM read_parquet('{fx}/raster_meta.parquet')),
+cells AS (
+  SELECT row, col, elevation, uncertainty, contributor,
+    m.origin_x + (col + 0.5) * m.dx AS lon,
+    m.origin_y + (row + 0.5) * m.dy AS lat
+  FROM read_parquet('{fx}/raster_cells.parquet') CROSS JOIN rmeta m
+),
+rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
+gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
+gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
+sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
+gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+cand AS (
+  SELECT rc.*, row_number() OVER (ORDER BY rc.region_ord) - 1 AS cand_pos
+  FROM rcat rc CROSS JOIN rmeta m
+  WHERE NOT (rc.max_x < m.origin_x OR rc.min_x > m.origin_x + m.ncols * m.dx
+          OR rc.max_y < m.origin_y OR rc.min_y > m.origin_y + m.nrows * m.dy)
+),
+rsamp AS (
+  SELECT c.row, c.col, cd.region, cd.cand_pos, s.surface, s.sgn,
+    CASE WHEN s.surface = 'geoid' THEN cd.geoid_name
+         ELSE cd.region || '/' || s.surface END AS grid_key,
+    c.lon + cd.frame_dlon AS slon, c.lat + cd.frame_dlat AS slat
+  FROM cells c CROSS JOIN cand cd
+  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
+),
+rsampq AS (
+  SELECT r.row, r.col, r.region, r.cand_pos, r.surface, r.grid_key, gm.nx, gm.ny,
+    (r.slon - gm.origin_x) / gm.dx AS gx,
+    (r.slat - gm.origin_y) / gm.dy AS gy,
+    CAST(LEAST(GREATEST(floor((r.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(floor((r.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0,
+    (r.slon - gm.origin_x) / gm.dx
+      - LEAST(GREATEST(floor((r.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS fx,
+    (r.slat - gm.origin_y) / gm.dy
+      - LEAST(GREATEST(floor((r.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS fy
+  FROM rsamp r JOIN gmeta gm ON gm.grid_key = r.grid_key
+),
+rinterp AS (
+  SELECT q.row, q.col, q.region, q.cand_pos, q.surface,
+    (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
+      + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
+    (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
+     AND q.gx >= 0 AND q.gx <= q.nx - 1 AND q.gy >= 0 AND q.gy <= q.ny - 1) AS ok
+  FROM rsampq q
+  LEFT JOIN gvals a ON a.grid_key = q.grid_key AND a.ix = q.ix0 AND a.iy = q.iy0
+  LEFT JOIN gvals b ON b.grid_key = q.grid_key AND b.ix = q.ix0 + 1 AND b.iy = q.iy0
+  LEFT JOIN gvals c ON c.grid_key = q.grid_key AND c.ix = q.ix0 AND c.iy = q.iy0 + 1
+  LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
+),
+rsep AS (
+  SELECT row, col, region, cand_pos,
+    ((0.0 - max(CASE WHEN surface = 'geoid' THEN val END))
+      + max(CASE WHEN surface = 'tss' THEN val END))
+      - max(CASE WHEN surface = 'mllw' THEN val END) AS sep,
+    bool_and(ok) AS ok_all
+  FROM rinterp GROUP BY row, col, region, cand_pos
+),
+rcounts AS (
+  SELECT region, count(*) AS n_valid FROM rsep WHERE ok_all GROUP BY region
+),
+rwin AS (
+  SELECT s.row, s.col, s.region, s.cand_pos, s.sep,
+    gs.sigma + g.tss + g.mllw AS sep_unc,
+    row_number() OVER (PARTITION BY s.row, s.col
+                       ORDER BY n.n_valid DESC, s.cand_pos DESC) AS rn
+  FROM rsep s
+  JOIN rcounts n ON n.region = s.region
+  JOIN cand cd ON cd.region = s.region
+  JOIN sig g ON g.region = s.region
+  JOIN gsig gs ON gs.geoid_name = cd.geoid_name
+  WHERE s.ok_all
+)"""
+
+
+def q_raster_valid_counts(fx: str) -> str:
+    return f"WITH {_raster_ctes(fx)} SELECT region, n_valid FROM rcounts"
+
+
+def q_raster_sep(fx: str) -> str:
+    return f"""WITH {_raster_ctes(fx)}
+SELECT row, col, sep, sep_unc, CAST(cand_pos AS INTEGER) AS region_index
+FROM rwin WHERE rn = 1"""
+
+
+def q_raster_transform(fx: str) -> str:
+    """apply_sep with allow_points_outside_coverage=True: height input,
+    depth output (flip = -1); CATZOC-D uncertainty for covered-elevation
+    cells outside every region (raster.py:380-396)."""
+    return f"""WITH {_raster_ctes(fx)},
+win1 AS (SELECT * FROM rwin WHERE rn = 1)
+SELECT c.row, c.col,
+  CAST(floor(c.row / m.tile) AS BIGINT) * 4096
+    + CAST(floor(c.col / m.tile) AS BIGINT) AS tile_id,
+  {_r3("CASE WHEN w.region IS NOT NULL THEN -1.0 * (c.elevation + w.sep) ELSE -1.0 * c.elevation END")} AS z,
+  {_r3("CASE WHEN w.region IS NOT NULL THEN c.uncertainty + w.sep_unc ELSE GREATEST(CASE WHEN c.elevation > 0 THEN 3.0 ELSE 3.0 - 0.06 * c.elevation END, c.uncertainty) END")} AS unc,
+  c.contributor,
+  CAST(COALESCE(w.cand_pos, -1) AS INTEGER) AS region_index
+FROM cells c
+CROSS JOIN rmeta m
+LEFT JOIN win1 w ON w.row = c.row AND w.col = c.col
+WHERE isfinite(c.elevation)"""
+
+
+def q_raster_tile_manifest(fx: str) -> str:
+    return f"""WITH
+rmeta AS (SELECT * FROM read_parquet('{fx}/raster_meta.parquet'))
+SELECT CAST(floor(c.row / m.tile) AS BIGINT) * 4096
+    + CAST(floor(c.col / m.tile) AS BIGINT) AS tile_id,
+  count(*) AS n_rows
+FROM read_parquet('{fx}/raster_cells.parquet') c CROSS JOIN rmeta m
+GROUP BY tile_id"""
 
 
 def q_geocode(fx: str) -> str:
@@ -209,7 +347,7 @@ def q_transform_summary(fx: str) -> str:
     groupby path on top of the full transform)."""
     return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)}
 SELECT region, count(*) AS n_points,
-  round(sum(z_out), 3) AS sum_z, round(sum(unc), 3) AS sum_unc
+  {_r3("sum(z_out)")} AS sum_z, {_r3("sum(unc)")} AS sum_unc
 FROM zwin WHERE rn = 1 GROUP BY region"""
 
 
@@ -220,6 +358,6 @@ def q_knn_grid_node(fx: str) -> str:
     return f"""WITH {_geo_cte(fx)},
 gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet') WHERE grid_key = 'sgeoid12x')
 SELECT g.url,
-  CAST(LEAST(GREATEST(round((g.lon - gm.origin_x) / gm.dx, 0), 0), gm.nx - 1) AS BIGINT) AS node_ix,
-  CAST(LEAST(GREATEST(round((g.lat - gm.origin_y) / gm.dy, 0), 0), gm.ny - 1) AS BIGINT) AS node_iy
+  CAST(LEAST(GREATEST(round_even((g.lon - gm.origin_x) / gm.dx, 0), 0), gm.nx - 1) AS BIGINT) AS node_ix,
+  CAST(LEAST(GREATEST(round_even((g.lat - gm.origin_y) / gm.dy, 0), 0), gm.ny - 1) AS BIGINT) AS node_iy
 FROM geo g CROSS JOIN gmeta gm"""

@@ -203,13 +203,28 @@ class MinHashStage:
         self.id_col = id_col
         self.text_col = text_col
 
+    def _batch_signatures(self, texts: list) -> np.ndarray:
+        """All signatures of a batch in one vectorized pass: concatenate
+        every text's shingle hashes, broadcast all permutations over the
+        flat array, then per-document min via ``np.minimum.reduceat``."""
+        shingles = [_shingle_hashes(t or "", self.mh.k) for t in texts]
+        lengths = np.array([max(len(s), 1) for s in shingles], dtype=np.int64)
+        flat = np.concatenate([s if len(s) else np.zeros(1, np.uint64) for s in shingles])
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sigs = np.empty((len(texts), self.mh.num_perm), dtype=np.uint64)
+        # chunk permutations to bound the (num_perm, total_shingles) temp
+        for p0 in range(0, self.mh.num_perm, 16):
+            p1 = min(p0 + 16, self.mh.num_perm)
+            vals = (self.mh.a[p0:p1, None] * flat[None, :] + self.mh.b[p0:p1, None]) % _MERSENNE
+            sigs[:, p0:p1] = np.minimum.reduceat(vals, offsets, axis=1).T
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit (band_id, band_hash, id) rows — the LSH explode."""
         texts = batch.column(self.text_col).to_pylist()
         n = len(texts)
-        sigs = np.empty((n, self.mh.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.mh.signature(t)
+        sigs = self._batch_signatures(texts)
         banded = sigs.reshape(n, self.bands, self.rows_per_band)
         band_hash = np.bitwise_xor.reduce(banded, axis=2) * np.uint64(0x9E3779B97F4A7C15)
         band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
@@ -225,16 +240,16 @@ class MinHashStage:
 
 
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """MinHash-LSH candidate pairs over pages text (rows-only check;
-    verified by Jaccard in tests): shingle -> minhash -> band explode ->
-    groupby(band) -> pairs."""
-    from vyperdatum_ray.fixtures import pages_paths
+    """MinHash-LSH near-dup candidate pairs over documents text
+    (rows-only check; Jaccard-verified in tests): shingle -> minhash ->
+    band explode -> groupby(band) -> pairs -> dedup by (id_a, id_b).
 
-    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
-    # LSH over a deterministic sample to bound pair blowup at test scale
-    ds = ds.map_batches(
+    Mega-buckets (> 64 ids sharing a band hash — template spam at web
+    scale) are dropped, the standard LSH guard against the O(n^2) pair
+    explosion a hot bucket would cause."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHashStage,
-        fn_constructor_kwargs={"id_col": "url", "text_col": "text"},
+        fn_constructor_kwargs={"id_col": "doc_id", "text_col": "text"},
         batch_format="pyarrow",
         concurrency=(1, 8),
         num_cpus=1,
@@ -242,15 +257,11 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["id"].unique())
+        ids = np.sort(df["id"].unique())
         if len(ids) < 2 or len(ids) > 64:  # skip degenerate / mega-buckets
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype({"id_a": str, "id_b": str})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     cand = ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
 
@@ -261,33 +272,34 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 class SimHashStage:
-    """64-bit SimHash over word unigrams (token hash sign aggregation)."""
+    """64-bit SimHash over word unigrams, fully vectorized per batch:
+    Arrow regex tokenize -> one flat token array -> xxhash via polars ->
+    per-document signed bit sums via ``np.add.reduceat``."""
 
     def __init__(self, id_col="doc_id", text_col="text"):
-        import re
-
-        self.word = re.compile(r"\S+")
         self.id_col = id_col
         self.text_col = text_col
-
-    def _simhash(self, text: str) -> int:
-        toks = self.word.findall(text or "")
-        if not toks:
-            return 0
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for i, tok in enumerate(toks):
-            h = 0xCBF29CE484222325
-            for byte in tok.encode():
-                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            hs[i] = h
-        shifts = np.arange(64, dtype=np.uint64)
-        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
-        acc = np.where(bits == 1, 1, -1).sum(axis=0)
-        return int(np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts))
+        self.shifts = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        hashes = np.array([self._simhash(t) for t in texts], dtype=np.uint64)
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.coalesce(col, ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(counts)
+        hashes = np.zeros(n, dtype=np.uint64)
+        if len(flat):
+            hs = _hash_utf8_fast(flat)
+            valid = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+            bits = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            signed = (2 * bits - 1) * valid[:, None]  # empty split fragments weigh 0
+            offsets = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            acc = np.add.reduceat(signed, offsets, axis=0)
+            # all-empty docs sum to 0 -> every acc <= 0 -> simhash 0
+            hashes = ((acc > 0).astype(np.uint64) << self.shifts[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table({self.id_col: batch.column(self.id_col),
                          "simhash": pa.array(hashes, pa.uint64())})
 

@@ -116,7 +116,10 @@ class DatumTransformer:
             z = z_in[idx].copy()
             for grid, sign in steps:
                 z = z + sign * grid.interpolate(rlon, rlat)
-            valid = ~np.isinf(z)
+            # ~isinf in the reference (core.py:445-446); isfinite here
+            # because two out-of-coverage step grids with opposite signs
+            # compose to inf - inf = NaN, which is equally "no coverage".
+            valid = np.isfinite(z)
             w = idx[valid]
             ans_z[w] = self.flip * z[valid]
             ans_unc[w] = self.region_unc[i]
