@@ -1,0 +1,93 @@
+"""Checkpoint/resume semantics: per-shard lineage records, read-time
+pruning of completed shards, idempotent partition overwrite, stale
+version invalidation."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.01"  # 3 input shards -> real multi-shard resume
+
+
+def _read_output(out_dir: str) -> pd.DataFrame:
+    t = pq.read_table(out_dir)
+    return (
+        t.to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def first_run(ray_session, tmp_path_factory):
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.state.lineage import run_flagship_checkpointed
+
+    ensure_fixtures(SF)
+    out = str(tmp_path_factory.mktemp("ckpt") / "out")
+    metrics = run_flagship_checkpointed(SF, out)
+    return out, metrics
+
+
+def test_first_run_commits_all_shards(first_run):
+    out, metrics = first_run
+    assert metrics["n_shards_skipped"] == 0
+    assert metrics["n_shards_run"] == metrics["n_shards_total"] > 0
+    recs = [f for f in os.listdir(os.path.join(out, "_lineage")) if f.endswith(".json")]
+    assert len(recs) == metrics["n_shards_total"]
+    rec = json.load(open(os.path.join(out, "_lineage", sorted(recs)[0])))
+    assert rec["transform_version"] == metrics["transform_version"]
+    assert rec["n_rows_out"] > 0 and rec["cell_set"]
+    assert rec["row_range"] == [0, rec["n_rows_in"]]
+
+
+def test_noop_resume_skips_everything(first_run):
+    from vyperdatum_ray.state.lineage import run_flagship_checkpointed
+
+    out, _ = first_run
+    m2 = run_flagship_checkpointed(SF, out)
+    assert m2["n_shards_run"] == 0
+    assert m2["n_shards_skipped"] == m2["n_shards_total"]
+
+
+def test_resume_recomputes_only_missing_shard(first_run):
+    from vyperdatum_ray.state.lineage import run_flagship_checkpointed
+
+    out, metrics = first_run
+    baseline = _read_output(out)
+
+    # simulate a crash: one shard's lineage gone + partial partition
+    victim = sorted(
+        f for f in os.listdir(os.path.join(out, "_lineage")) if f.endswith(".json")
+    )[0]
+    shard = victim[: -len(".json")]
+    os.remove(os.path.join(out, "_lineage", victim))
+    shutil.rmtree(os.path.join(out, f"shard={shard}"))
+
+    m3 = run_flagship_checkpointed(SF, out)
+    assert m3["n_shards_run"] == 1
+    assert m3["n_shards_skipped"] == m3["n_shards_total"] - 1
+
+    resumed = _read_output(out)
+    pd.testing.assert_frame_equal(resumed, baseline)
+
+
+def test_stale_version_triggers_recompute(first_run):
+    from vyperdatum_ray.state.lineage import completed_shards
+
+    out, metrics = first_run
+    done = completed_shards(out, metrics["transform_version"])
+    assert len(done) == metrics["n_shards_total"]
+    assert completed_shards(out, "different-version") == {}
+
+
+def test_metrics_appended(first_run):
+    out, _ = first_run
+    lines = open(os.path.join(out, "_lineage", "_metrics.jsonl")).read().splitlines()
+    assert len(lines) >= 1
+    rec = json.loads(lines[0])
+    assert rec["rows_in"] >= rec["rows_out"] > 0

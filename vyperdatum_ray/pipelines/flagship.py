@@ -38,9 +38,22 @@ def load_catalog(sf_dir: str) -> Catalog:
     return Catalog.from_dir(catalog_dir(sf_dir))
 
 
-def geocoded_pages(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """pages -> geocode -> keep geocoded -> cell index."""
-    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=columns or PAGE_COLUMNS)
+def geocoded_pages(
+    sf_dir: str,
+    columns: list[str] | None = None,
+    paths: list[str] | None = None,
+    include_paths: bool = False,
+) -> ray.data.Dataset:
+    """pages -> geocode -> keep geocoded -> cell index.
+
+    ``paths`` restricts the read to specific input shards (resume prunes
+    completed shards here, at the read); ``include_paths`` carries the
+    source file as a ``path`` column for lineage tagging."""
+    ds = ray.data.read_parquet(
+        paths or pages_paths(sf_dir),
+        columns=columns or PAGE_COLUMNS,
+        include_paths=include_paths,
+    )
     ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
     ds = ds.map_batches(keep_geocoded, batch_format="pyarrow")
     ds = ds.map_batches(cell_index_batch, batch_format="pyarrow")
@@ -53,13 +66,15 @@ def flagship_pipeline(
     to_datum: str = "mllw",
     catalog: Catalog | None = None,
     batch_size: int = 16384,
+    paths: list[str] | None = None,
+    include_paths: bool = False,
 ) -> ray.data.Dataset:
     """Full geocode + PIP join + datum transform stream; returns the lazy
     Dataset (caller writes or aggregates)."""
     catalog = catalog or load_catalog(sf_dir)
     catalog_ref = ray.put(catalog)
     pool = _pool_size()
-    ds = geocoded_pages(sf_dir)
+    ds = geocoded_pages(sf_dir, paths=paths, include_paths=include_paths)
     ds = ds.map_batches(
         RegionJoiner,
         fn_constructor_kwargs={"catalog_ref": catalog_ref},
