@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_join": q.q_region_join,
         "region_counts": q.q_region_counts,
         "datum_transform": q.q_datum_transform,
+        "datum_transform_inv": q.q_datum_transform_inv,
+        "datum_transform_mhw": q.q_datum_transform_mhw,
+        "hot_tiles": q.q_hot_tiles,
+        "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
         "flagship": q.q_flagship,
@@ -72,9 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": textops.q_simhash,
         "fingerprint": textops.q_fingerprint,
         "minhash_pairs": textops.q_minhash_pairs,
+        "neardup_jaccard": textops.q_neardup_jaccard,
         "html_stats": textops.q_html_stats,
         "ann_topk": ann.q_ann_topk,
         "ann_ivf": ann.q_ann_ivf,
+        "neardup_embedding": ann.q_neardup_embedding,
         "multimodal_decode": multimodal.q_multimodal_decode,
     }
 
@@ -93,6 +99,11 @@ def oracle_sql() -> dict[str, str]:
         "region_join": oracle.q_region_join(fx),
         "region_counts": oracle.q_region_counts(fx),
         "datum_transform": oracle.q_datum_transform(fx),
+        "datum_transform_inv": oracle.q_datum_transform_inv(fx),
+        "datum_transform_mhw": oracle.q_datum_transform_mhw(fx),
+        "hot_tiles": oracle.q_hot_tiles(fx),
+        "uncertainty_table": oracle.q_uncertainty_table(fx),
+        "neardup_embedding": oracle.q_neardup_embedding(fx),
         "transform_summary": oracle.q_transform_summary(fx),
         "knn_grid_node": oracle.q_knn_grid_node(fx),
         "raster_valid_counts": oracle.q_raster_valid_counts(fx),

@@ -81,10 +81,18 @@ memb AS (
 )"""
 
 
-def _transform_ctes(fx: str) -> str:
-    """CTEs computing per-(point, region) z for the ellipse->mllw
-    pipeline (geoid forward, tss inverse, mllw forward) plus composed
-    uncertainty, with grid-coverage validity."""
+def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False) -> str:
+    """CTEs computing per-(point, region) z for the ellipse-><target>
+    pipeline (geoid forward, tss inverse, <target> forward) — or its
+    inverse (<target> -> ellipse: reversed steps, signs toggled, height
+    output, zero uncertainty) — plus composed uncertainty and
+    grid-coverage validity."""
+    if inverse:
+        z_expr = f"(((0.0 + z.g_{target}) - z.g_tss) + z.g_geoid)"
+        unc_expr = "0.0"  # out 'ellipse' -> no transform uncertainty (core.py:334-335)
+    else:
+        z_expr = f"-(((0.0 - z.g_geoid) + z.g_tss) - z.g_{target})"
+        unc_expr = f"gs.sigma + s.tss + s.{target}"
     return f"""
 rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
 gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
@@ -104,7 +112,7 @@ samp AS (
     CASE WHEN s.surface = 'geoid' THEN t.geoid_name
          ELSE t.region || '/' || s.surface END AS grid_key
   FROM tr t
-  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
+  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)) AS s(surface, sgn)
 ),
 sampq AS (
   SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
@@ -135,15 +143,15 @@ zr AS (
   SELECT url, region, region_ord,
     max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
     max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
-    max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
+    max(CASE WHEN surface = '{target}' THEN val END) AS g_{target},
     bool_and(ok) AS ok_all
   FROM interp
   GROUP BY url, region, region_ord
 ),
 zwin AS (
   SELECT z.url, z.region, z.region_ord,
-    {_r3("-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw)")} AS z_out,
-    gs.sigma + s.tss + s.mllw AS unc,
+    {_r3(z_expr)} AS z_out,
+    {unc_expr} AS unc,
     row_number() OVER (PARTITION BY z.url ORDER BY z.region_ord DESC) AS rn
   FROM zr z
   JOIN rcat rc ON rc.region = z.region
@@ -349,6 +357,60 @@ def q_transform_summary(fx: str) -> str:
 SELECT region, count(*) AS n_points,
   {_r3("sum(z_out)")} AS sum_z, {_r3("sum(unc)")} AS sum_unc
 FROM zwin WHERE rn = 1 GROUP BY region"""
+
+
+def q_datum_transform_inv(fx: str) -> str:
+    """mllw -> ellipse inverse (reversed steps, toggled signs, height
+    out, zero uncertainty)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx, inverse=True)}
+SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w WHERE w.rn = 1"""
+
+
+def q_datum_transform_mhw(fx: str) -> str:
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx, target="mhw")}
+SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w WHERE w.rn = 1"""
+
+
+def q_hot_tiles(fx: str, min_rows: int = 200) -> str:
+    return (
+        f"WITH {_geo_cte(fx)} SELECT "
+        "CAST(floor((lat + 90.0) / 0.25) AS BIGINT) * 4096 "
+        "+ CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS tile_id, "
+        f"count(*) AS n_rows FROM geo GROUP BY tile_id HAVING count(*) >= {min_rows}"
+    )
+
+
+def q_uncertainty_table(fx: str) -> str:
+    """Composed scalar uncertainty per (region, target): geoid sigma +
+    tss sigma (+ target sigma for tidal targets), same addition order as
+    compose_uncertainty."""
+    return f"""WITH
+rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
+sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
+gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet'))
+SELECT s.region, t.target,
+  CASE t.target
+    WHEN 'tss' THEN (0.0 + gs.sigma) + s.tss
+    WHEN 'mllw' THEN ((0.0 + gs.sigma) + s.tss) + s.mllw
+    WHEN 'mhw' THEN ((0.0 + gs.sigma) + s.tss) + s.mhw
+    WHEN 'mtl' THEN ((0.0 + gs.sigma) + s.tss) + s.mtl
+    WHEN 'dtl' THEN ((0.0 + gs.sigma) + s.tss) + s.dtl
+  END AS unc
+FROM sig s
+JOIN rcat rc ON rc.region = s.region
+JOIN gsig gs ON gs.geoid_name = rc.geoid_name
+CROSS JOIN (VALUES ('mllw'), ('mhw'), ('mtl'), ('dtl'), ('tss')) AS t(target)"""
+
+
+def q_neardup_embedding(fx: str, tau: float = 0.4) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) "
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        f"WHERE list_cosine_similarity(a.v, b.v) >= {tau}"
+    )
 
 
 def q_knn_grid_node(fx: str) -> str:

@@ -143,6 +143,16 @@ def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
     all_emb = np.stack(t.to_pandas()["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(11)
     cents = all_emb[rng.choice(len(all_emb), size=min(nlist, len(all_emb)), replace=False)]
+    # a few Lloyd iterations (driver-side, deterministic) — sampled
+    # seeds alone give lopsided lists and poor recall
+    normed = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
+    for _ in range(4):
+        c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(normed @ c.T, axis=1)
+        for j in range(len(cents)):
+            members = all_emb[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
     refs = {
         "qids_ref": ray.put(qids),
         "qmat_ref": ray.put(qmat),
@@ -158,3 +168,43 @@ def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
     top = df.groupby("query_id", as_index=False).head(K).copy()
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
+class CosinePairs:
+    """All-pairs cosine near-dup (embedding near-dup dedup family): each
+    batch scores against the broadcast full matrix and emits (a, b)
+    pairs with a < b and cosine >= tau. O(n^2) brute force is the
+    test-scale baseline; the scale path buckets by IVF/LSH list first
+    (q_ann_ivf's assignment) so only same-bucket pairs are scored."""
+
+    def __init__(self, ids_ref, mat_ref, tau: float):
+        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _batch_to_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ self.mat.T
+        ai, bi = np.nonzero(sims >= self.tau)
+        a, b = ids[ai], self.ids[bi]
+        keep = a < b
+        return pa.table({"vec_id_a": pa.array(a[keep], pa.int64()),
+                         "vec_id_b": pa.array(b[keep], pa.int64())})
+
+
+def q_neardup_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs over the whole embeddings
+    table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    refs = {"ids_ref": ray.put(ids), "mat_ref": ray.put(mat), "tau": tau}
+    return _emb(sf_dir).map_batches(
+        CosinePairs, fn_constructor_kwargs=refs, batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 8), num_cpus=1,
+    )

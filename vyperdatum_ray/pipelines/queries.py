@@ -178,6 +178,98 @@ def q_transform_summary(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_datum_transform_inv(sf_dir: str) -> ray.data.Dataset:
+    """Inverse transform (F2): mllw -> ellipse. Input z = 0 at the mllw
+    surface (depth convention), output ellipsoid height. Pipeline =
+    reversed ellipse->mllw with every step's sign toggled
+    (reference pipeline.py:145-168, test_vypercrs.py:73-88)."""
+    import pyarrow.compute as pc
+
+    ds = flagship_pipeline(
+        sf_dir, from_datum="mllw", to_datum="ellipse",
+        in_is_height=False, out_is_height=True,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "region", "region_index", "z_out", "unc"])
+
+
+def q_datum_transform_mhw(sf_dir: str) -> ray.data.Dataset:
+    """ellipse -> mhw ('noaa chart height' family target): same 3-step
+    shape as mllw but the mhw surface and mhw sigma."""
+    import pyarrow.compute as pc
+
+    ds = flagship_pipeline(sf_dir, to_datum="mhw")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "region", "region_index", "z_out", "unc"])
+
+
+def q_hot_tiles(sf_dir: str, salt_k: int = 8, min_rows: int = 200) -> ray.data.Dataset:
+    """Hot-cell detection via the salted two-phase aggregate (A5,
+    north_rule skew handling): phase 1 groups by (tile_id, salt) where
+    salt = hash(url) % k — a hot coastal tile's rows spread over k
+    reducers instead of melting one — phase 2 sums the k partials per
+    tile and keeps tiles over the threshold. (Per-batch combiners
+    already shrink the shuffle; the salt bounds the worst case when a
+    single key exceeds one reducer's capacity.)"""
+    from vyperdatum_ray.pipelines.textops import _hash_utf8_fast
+    from vyperdatum_ray.stages.cellindex import cell_index_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tid = batch.column("tile_id").to_numpy()
+        salt = _hash_utf8_fast(batch.column("url")) % np.uint64(salt_k)
+        key = tid.astype(np.uint64) * np.uint64(salt_k) + salt
+        k, cnt = np.unique(key, return_counts=True)
+        return pa.table({"tile_salt": pa.array(k, pa.uint64()),
+                         "partial_n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    salted = ds.groupby("tile_salt").aggregate(Sum("partial_n", alias_name="n_salted"))
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        key = batch.column("tile_salt").to_numpy()
+        return pa.table({
+            "tile_id": pa.array((key // np.uint64(salt_k)).astype(np.int64), pa.int64()),
+            "partial_n": batch.column("n_salted"),
+        })
+
+    out = salted.map_batches(unsalt, batch_format="pyarrow")
+    out = out.groupby("tile_id").aggregate(Sum("partial_n", alias_name="n_rows"))
+    import pyarrow.compute as pc
+
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_rows"), min_rows)),
+        batch_format="pyarrow",
+    )
+
+
+def q_uncertainty_table(sf_dir: str) -> pd.DataFrame:
+    """Composed per-(region, target) uncertainty (A3) for every tidal
+    target datum — the driver-side scalar table the transforms stamp on
+    rows."""
+    catalog = load_catalog(sf_dir)
+    rows = []
+    from vyperdatum_ray.core.uncertainty import compose_uncertainty
+
+    for r in catalog.regions:
+        for target in ("mllw", "mhw", "mtl", "dtl", "tss"):
+            rows.append({
+                "region": r.name,
+                "target": target,
+                "unc": compose_uncertainty(
+                    "ellipse", target, catalog.sigmas[r.name],
+                    catalog.geoid_sigmas[r.geoid_name],
+                ),
+            })
+    return pd.DataFrame(rows)
+
+
 def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
     """Nearest geoid-grid node per point (J5, k=1)."""
     catalog = load_catalog(sf_dir)

@@ -349,3 +349,55 @@ def q_html_stats(sf_dir: str) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "html"])
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _jaccard_from_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+class JaccardVerify:
+    """Exact character-5-gram Jaccard for candidate pairs. Holds the
+    shingle sets of the doc corpus (broadcast once via ray.put) — the
+    verify side of MinHash-LSH dedup. At web scale the doc-side state is
+    partitioned (hash-join by id) instead of broadcast; at the
+    verification stage the candidate volume is already tiny relative to
+    the corpus, which is what makes this affordable."""
+
+    def __init__(self, docs_ref, tau: float):
+        docs = ray.get(docs_ref) if isinstance(docs_ref, ray.ObjectRef) else docs_ref
+        self.shingles = {i: _shingle_hashes(t, 5) for i, t in docs.items()}
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i in range(len(a_ids)):
+            jac[i] = _jaccard_from_sorted(self.shingles[a_ids[i]], self.shingles[b_ids[i]])
+        keep = jac >= self.tau
+        return pa.table(
+            {
+                "id_a": pa.array(a_ids[keep], pa.int64()),
+                "id_b": pa.array(b_ids[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+
+def q_neardup_jaccard(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+    """n-gram Jaccard near-dup: MinHash-LSH candidate pairs verified
+    with exact 5-gram Jaccard >= tau (candidate recall from LSH, final
+    precision from the exact measure)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    docs_ref = ray.put(docs)
+    cand = q_minhash_pairs(sf_dir)
+    return cand.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"docs_ref": docs_ref, "tau": tau},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
