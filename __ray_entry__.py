@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
+        "sampled_transform": q.q_sampled_transform,
         "flagship": q.q_flagship,
         # --- raster path (M7/M8, J1/J3, A2, O5) ---
         "raster_valid_counts": raster.q_raster_valid_counts,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": oracle.q_neardup_embedding(fx),
         "transform_summary": oracle.q_transform_summary(fx),
         "knn_grid_node": oracle.q_knn_grid_node(fx),
+        "sampled_transform": oracle.q_sampled_transform(fx),
         "raster_valid_counts": oracle.q_raster_valid_counts(fx),
         "raster_sep": oracle.q_raster_sep(fx),
         "raster_transform": oracle.q_raster_transform(fx),

@@ -413,6 +413,100 @@ def q_neardup_embedding(fx: str, tau: float = 0.4) -> str:
     )
 
 
+def q_sampled_transform(fx: str, d: float = 0.05) -> str:
+    """O2 sample-distance accelerator: transform occupied coarse-cell
+    centers once, assign per point. Mirrors q_sampled_transform's
+    absolute lattice (floor(coord/d), center (c+0.5)*d)."""
+    return f"""WITH {_geo_cte(fx)},
+cellsq AS (
+  SELECT DISTINCT CAST(floor(lon / {d}) AS BIGINT) AS cx,
+                  CAST(floor(lat / {d}) AS BIGINT) AS cy
+  FROM geo
+),
+centers AS (
+  SELECT cx, cy, (cx + 0.5) * {d} AS lon, (cy + 0.5) * {d} AS lat FROM cellsq
+),
+edges AS (SELECT * FROM read_parquet('{fx}/region_edges.parquet')),
+cmemb AS (
+  SELECT c.cx, c.cy, e.region, e.region_ord
+  FROM centers c CROSS JOIN edges e
+  GROUP BY c.cx, c.cy, c.lon, c.lat, e.region, e.region_ord
+  HAVING max(e.ax * c.lon + e.ay * c.lat - e.b) <= 0
+),
+rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
+gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
+gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
+sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
+gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+ctr AS (
+  SELECT m.cx, m.cy, m.region, m.region_ord,
+         c.lon + rc.frame_dlon AS slon, c.lat + rc.frame_dlat AS slat,
+         rc.geoid_name
+  FROM cmemb m
+  JOIN rcat rc ON rc.region = m.region
+  JOIN centers c ON c.cx = m.cx AND c.cy = m.cy
+),
+csamp AS (
+  SELECT t.*, s.surface,
+    CASE WHEN s.surface = 'geoid' THEN t.geoid_name
+         ELSE t.region || '/' || s.surface END AS grid_key
+  FROM ctr t
+  CROSS JOIN (VALUES ('geoid'), ('tss'), ('mllw')) AS s(surface)
+),
+csampq AS (
+  SELECT c.cx, c.cy, c.region, c.region_ord, c.surface, c.grid_key, gm.nx, gm.ny,
+    (c.slon - gm.origin_x) / gm.dx AS gx,
+    (c.slat - gm.origin_y) / gm.dy AS gy,
+    CAST(LEAST(GREATEST(floor((c.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(floor((c.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0,
+    (c.slon - gm.origin_x) / gm.dx
+      - LEAST(GREATEST(floor((c.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS fx,
+    (c.slat - gm.origin_y) / gm.dy
+      - LEAST(GREATEST(floor((c.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS fy
+  FROM csamp c JOIN gmeta gm ON gm.grid_key = c.grid_key
+),
+cinterp AS (
+  SELECT q.cx, q.cy, q.region, q.region_ord, q.surface,
+    (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
+      + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
+    (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
+     AND q.gx >= 0 AND q.gx <= q.nx - 1 AND q.gy >= 0 AND q.gy <= q.ny - 1) AS ok
+  FROM csampq q
+  LEFT JOIN gvals a ON a.grid_key = q.grid_key AND a.ix = q.ix0 AND a.iy = q.iy0
+  LEFT JOIN gvals b ON b.grid_key = q.grid_key AND b.ix = q.ix0 + 1 AND b.iy = q.iy0
+  LEFT JOIN gvals c ON c.grid_key = q.grid_key AND c.ix = q.ix0 AND c.iy = q.iy0 + 1
+  LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
+),
+czr AS (
+  SELECT cx, cy, region, region_ord,
+    max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
+    max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
+    max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
+    bool_and(ok) AS ok_all
+  FROM cinterp GROUP BY cx, cy, region, region_ord
+),
+czwin AS (
+  SELECT z.cx, z.cy,
+    {_r3("-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw)")} AS z_samp,
+    gs.sigma + s.tss + s.mllw AS unc_samp,
+    CAST(z.region_ord AS INTEGER) AS region_index,
+    row_number() OVER (PARTITION BY z.cx, z.cy ORDER BY z.region_ord DESC) AS rn
+  FROM czr z
+  JOIN rcat rc ON rc.region = z.region
+  JOIN sig s ON s.region = z.region
+  JOIN gsig gs ON gs.geoid_name = rc.geoid_name
+  WHERE z.ok_all
+)
+SELECT g.url,
+  CAST(floor(g.lon / {d}) AS BIGINT) AS cx,
+  CAST(floor(g.lat / {d}) AS BIGINT) AS cy,
+  w.z_samp, w.unc_samp, w.region_index
+FROM geo g
+JOIN czwin w ON w.rn = 1
+  AND w.cx = CAST(floor(g.lon / {d}) AS BIGINT)
+  AND w.cy = CAST(floor(g.lat / {d}) AS BIGINT)"""
+
+
 def q_knn_grid_node(fx: str) -> str:
     """Nearest geoid-grid node per geocoded point (J5, k=1 SQL-checkable
     case; rint half-even == DuckDB round-half-even on .5 grid coords is

@@ -270,6 +270,109 @@ def q_uncertainty_table(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+SAMPLE_D = 0.05  # sample_distance cell size (deg)
+
+
+def q_sampled_transform(sf_dir: str, d: float = SAMPLE_D) -> ray.data.Dataset:
+    """O2 sample-distance accelerator (reference points.py:59-102):
+    instead of transforming every point, transform each occupied coarse
+    cell's CENTER once, then assign every point its cell's result.
+
+    Distributed shape: distinct-cell extraction is a groupby over
+    (cx, cy) partials (bounded by area/d^2, not by row count); centers
+    run through the same PIP+transform actor pool; the tiny result is
+    broadcast (ray.put) and joined back to the stream with a vectorized
+    searchsorted — no second shuffle. Cells are an absolute lattice
+    (floor(coord/d)) rather than the reference's extent-relative bins —
+    deterministic without a global extent pass."""
+    from vyperdatum_ray.pipelines.flagship import JoinTransform
+
+    catalog = load_catalog(sf_dir)
+    catalog_ref = ray.put(catalog)
+
+    def cell_key(lon: np.ndarray, lat: np.ndarray):
+        cx = np.floor(lon / d).astype(np.int64)
+        cy = np.floor(lat / d).astype(np.int64)
+        return cx, cy
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        cx, cy = cell_key(batch.column("lon").to_numpy(zero_copy_only=False),
+                          batch.column("lat").to_numpy(zero_copy_only=False))
+        key = np.unique((cx + (1 << 20)) * (1 << 21) + (cy + (1 << 20)))
+        return pa.table({"cell_key": pa.array(key, pa.int64())})
+
+    geo = _geo(sf_dir)
+    cells = geo.map_batches(to_cells, batch_format="pyarrow")
+    cells = cells.groupby("cell_key").count()
+
+    def add_centers(batch: pa.Table) -> pa.Table:
+        key = batch.column("cell_key").to_numpy()
+        cx = key // (1 << 21) - (1 << 20)
+        cy = key % (1 << 21) - (1 << 20)
+        return pa.table(
+            {
+                "cell_key": batch.column("cell_key"),
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+                "lon": pa.array((cx + 0.5) * d, pa.float64()),
+                "lat": pa.array((cy + 0.5) * d, pa.float64()),
+            }
+        )
+
+    cells = cells.map_batches(add_centers, batch_format="pyarrow")
+    cells = cells.map_batches(
+        JoinTransform,
+        fn_constructor_kwargs={
+            "catalog_ref": catalog_ref, "from_datum": "ellipse",
+            "to_datum": "mllw", "in_is_height": True, "out_is_height": False,
+        },
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    # bounded small result (<= area/d^2 cells) -> broadcast lookup
+    small = cells.select_columns(["cell_key", "z_out", "unc", "region_index"]).to_pandas()
+    small = small.sort_values("cell_key")
+    lut_ref = ray.put(
+        (
+            small["cell_key"].to_numpy(),
+            small["z_out"].to_numpy(),
+            small["unc"].to_numpy(),
+            small["region_index"].to_numpy().astype(np.int32),
+        )
+    )
+
+    class CellLookup:
+        def __init__(self, lut_ref):
+            self.keys, self.z, self.unc, self.ridx = (
+                ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            cx, cy = cell_key(lon, lat)
+            key = (cx + (1 << 20)) * (1 << 21) + (cy + (1 << 20))
+            pos = np.searchsorted(self.keys, key)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            t = pa.table(
+                {
+                    "url": batch.column("url"),
+                    "cx": pa.array(cx, pa.int64()),
+                    "cy": pa.array(cy, pa.int64()),
+                    "z_samp": pa.array(self.z[pos], pa.float64()),
+                    "unc_samp": pa.array(self.unc[pos], pa.float64()),
+                    "region_index": pa.array(self.ridx[pos], pa.int32()),
+                }
+            )
+            import pyarrow.compute as pc
+
+            return t.filter(pc.greater_equal(t.column("region_index"), 0))
+
+    return geo.map_batches(
+        CellLookup, fn_constructor_kwargs={"lut_ref": lut_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
 def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
     """Nearest geoid-grid node per point (J5, k=1)."""
     catalog = load_catalog(sf_dir)
@@ -299,3 +402,18 @@ def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+def export_points_csv(sf_dir: str, out_dir: str) -> str:
+    """S2 CSV point sink (reference points.py:104-118 np.savetxt):
+    distributed ``write_csv`` of (lon, lat, z, unc, region_index) for
+    covered points — one file per block, resumable per part."""
+    import pyarrow.compute as pc
+
+    ds = flagship_pipeline(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    ).select_columns(["lon", "lat", "z_out", "unc", "region_index"])
+    ds.write_csv(out_dir)
+    return out_dir

@@ -334,4 +334,22 @@ def write_raster_tiles(sf_dir: str, out_dir: str, allow_outside: bool = True) ->
             {str(int(t)): int(n) for t, n in zip(manifest["tile_id"], manifest["n_rows"])},
             f, indent=0, sort_keys=True,
         )
-    return {"out_dir": out_dir, "n_tiles": len(manifest), "manifest": path}
+    # self-describing output: compound CRS WKT (horizontal + vertical
+    # with the per-region pipeline REMARK) alongside the tiles, the
+    # reference's GeoTIFF-projection contract (raster.py:513-546)
+    from vyperdatum_ray.core.wkt import (
+        GEOGRAPHIC_WKT, build_compound_wkt, vertical_datum_to_wkt,
+    )
+
+    catalog = Catalog.from_dir(catalog_dir(sf_dir))
+    meta = raster_meta(sf_dir)
+    x0, y0 = meta["origin_x"], meta["origin_y"]
+    bbox = (x0, y0, x0 + meta["ncols"] * meta["dx"], y0 + meta["nrows"] * meta["dy"])
+    crs_wkt = build_compound_wkt(
+        GEOGRAPHIC_WKT, vertical_datum_to_wkt("mllw", bbox, catalog)
+    )
+    crs_path = os.path.join(out_dir, "_crs.wkt")
+    with open(crs_path, "w") as f:
+        f.write(crs_wkt)
+    return {"out_dir": out_dir, "n_tiles": len(manifest), "manifest": path,
+            "crs_wkt": crs_path}
