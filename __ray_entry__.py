@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
+        "knn_grid_nodes": q.q_knn_grid_nodes,
+        "gridded_points": q.q_gridded_points,
         "sampled_transform": q.q_sampled_transform,
         "flagship": q.q_flagship,
         # --- raster path (M7/M8, J1/J3, A2, O5) ---
@@ -68,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": relational.q_orders_customer_join,
         "top_orders": relational.q_top_orders,
         "events_window": relational.q_events_window,
+        "sessionize": relational.q_sessionize,
         # --- training-data operators ---
         "dedup_exact": textops.q_dedup_exact,
         "dedup_normalized": textops.q_dedup_normalized,
@@ -83,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding": ann.q_neardup_embedding,
         "multimodal_decode": multimodal.q_multimodal_decode,
+        "html_extract": multimodal.q_html_extract,
+        "frame_sample": multimodal.q_frame_sample,
     }
 
 
@@ -107,6 +112,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": oracle.q_neardup_embedding(fx),
         "transform_summary": oracle.q_transform_summary(fx),
         "knn_grid_node": oracle.q_knn_grid_node(fx),
+        "knn_grid_nodes": oracle.q_knn_grid_nodes(fx),
+        "gridded_points": oracle.q_gridded_points(fx),
         "sampled_transform": oracle.q_sampled_transform(fx),
         "raster_valid_counts": oracle.q_raster_valid_counts(fx),
         "raster_sep": oracle.q_raster_sep(fx),
@@ -136,6 +143,10 @@ def oracle_sql() -> dict[str, str]:
         "html_stats": (
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes "
             f"FROM read_parquet('{fx}/pages/*.parquet')"
+        ),
+        "html_extract": (
+            f"SELECT url, regexp_replace(decode(html), '<[^>]*>', '', 'g') "
+            f"AS extracted FROM read_parquet('{fx}/pages/*.parquet')"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "

@@ -30,16 +30,21 @@ BENCH_QUERIES = [
     "tile_counts",
     "region_counts",
     "transform_summary",
+    "sampled_transform",
+    "raster_transform",
     "tpch_q1",
     "orders_customer_join",
+    "sessionize",
     "dedup_exact",
     "minhash_pairs",
+    "neardup_jaccard",
     "token_count",
     "quality_score",
     "simhash",
     "langid",
     "ann_topk",
     "html_stats",
+    "html_extract",
 ]
 
 

@@ -413,6 +413,48 @@ def q_neardup_embedding(fx: str, tau: float = 0.4) -> str:
     )
 
 
+def q_knn_grid_nodes(fx: str) -> str:
+    """J5 kNN k=4: the containing cell's 2x2 corner nodes ranked by
+    (squared distance, iy, ix) — ix0/iy0 clipping keeps all four
+    candidates in range, so ranks are total and deterministic."""
+    return f"""WITH {_geo_cte(fx)},
+gm AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet') WHERE grid_key = 'sgeoid12x'),
+base AS (
+  SELECT g.url, g.lon, g.lat, gm.origin_x, gm.origin_y, gm.dx, gm.dy,
+    CAST(LEAST(GREATEST(floor((g.lon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(floor((g.lat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0
+  FROM geo g CROSS JOIN gm
+),
+cand AS (
+  SELECT b.url, b.ix0 + o.ox AS cix, b.iy0 + o.oy AS ciy,
+    (b.origin_x + (b.ix0 + o.ox) * b.dx - b.lon) * (b.origin_x + (b.ix0 + o.ox) * b.dx - b.lon)
+    + (b.origin_y + (b.iy0 + o.oy) * b.dy - b.lat) * (b.origin_y + (b.iy0 + o.oy) * b.dy - b.lat) AS d2
+  FROM base b
+  CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(ox, oy)
+)
+SELECT url,
+  row_number() OVER (PARTITION BY url ORDER BY d2, ciy, cix) AS rank,
+  cix AS node_ix, ciy AS node_iy
+FROM cand"""
+
+
+def q_gridded_points(fx: str) -> str:
+    """Vector -> raster rasterization of the transformed points."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)},
+rmeta AS (SELECT * FROM read_parquet('{fx}/raster_meta.parquet')),
+pts AS (
+  SELECT CAST(floor((g.lat - m.origin_y) / m.dy) AS BIGINT) AS row,
+         CAST(floor((g.lon - m.origin_x) / m.dx) AS BIGINT) AS col,
+         w.z_out, m.ncols, m.nrows
+  FROM zwin w JOIN geo g ON g.url = w.url CROSS JOIN rmeta m
+  WHERE w.rn = 1
+)
+SELECT row, col, count(*) AS n_points, {_r3("sum(z_out)")} AS sum_z
+FROM pts
+WHERE row >= 0 AND row < nrows AND col >= 0 AND col < ncols
+GROUP BY row, col"""
+
+
 def q_sampled_transform(fx: str, d: float = 0.05) -> str:
     """O2 sample-distance accelerator: transform occupied coarse-cell
     centers once, assign per point. Mirrors q_sampled_transform's

@@ -75,3 +75,65 @@ def q_multimodal_decode(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 4),
         num_cpus=1,
     )
+
+
+def q_html_extract(sf_dir: str) -> ray.data.Dataset:
+    """Real (non-stub) html -> text extraction: strip tags with a
+    vectorized Arrow regex over the binary column. The heavy-payload
+    pattern: small batches, html pruned everywhere else."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.fixtures import pages_paths
+
+    def extract(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column("html"), pa.string())
+        text = pc.replace_substring_regex(html, "<[^>]*>", "")
+        return pa.table({"url": batch.column("url"), "extracted": text})
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "html"])
+    return ds.map_batches(extract, batch_format="pyarrow", batch_size=2048)
+
+
+N_FRAMES = 4
+
+
+class FrameSampler:
+    """Video-style frame sampling over an opaque binary column:
+    k evenly-spaced windows ('frames') per payload, one feature per
+    frame (mean byte value — deterministic stand-in for a real frame
+    decode, which needs ffmpeg; the windowing/batching/output layout is
+    the production shape)."""
+
+    def __init__(self, binary_col: str = "html", n_frames: int = N_FRAMES):
+        self.binary_col = binary_col
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.binary_col).to_pylist()
+        feats = np.zeros((len(payloads), self.n_frames), dtype=np.float64)
+        for i, buf in enumerate(payloads):
+            if not buf:
+                continue
+            b = np.frombuffer(buf, dtype=np.uint8)
+            bounds = np.linspace(0, len(b), self.n_frames + 1).astype(np.int64)
+            for f in range(self.n_frames):
+                win = b[bounds[f]:bounds[f + 1]]
+                feats[i, f] = float(win.mean()) if len(win) else 0.0
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "frame_feature": pa.array(
+                    list(np.round(feats, 6)), pa.list_(pa.float64(), self.n_frames)
+                ),
+            }
+        )
+
+
+def q_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    from vyperdatum_ray.fixtures import pages_paths
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "html"])
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4), num_cpus=1,
+    )

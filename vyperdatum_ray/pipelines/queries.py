@@ -417,3 +417,82 @@ def export_points_csv(sf_dir: str, out_dir: str) -> str:
     ).select_columns(["lon", "lat", "z_out", "unc", "region_index"])
     ds.write_csv(out_dir)
     return out_dir
+
+
+def q_knn_grid_nodes(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """J5 kNN grid-node lookup, k=4: the containing cell's sorted
+    neighbor candidate list (grid.py knn_nodes), one output row per
+    (point, rank)."""
+    catalog = load_catalog(sf_dir)
+    gref = ray.put(catalog.grids["sgeoid12x"])
+
+    class KnnNodes:
+        def __init__(self, gref, k):
+            self.grid = ray.get(gref) if isinstance(gref, ray.ObjectRef) else gref
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            ix, iy, _d2 = self.grid.knn_nodes(lon, lat, self.k)
+            n = len(lon)
+            url = batch.column("url").take(pa.array(np.repeat(np.arange(n), self.k)))
+            return pa.table(
+                {
+                    "url": url,
+                    "rank": pa.array(np.tile(np.arange(1, self.k + 1), n), pa.int64()),
+                    "node_ix": pa.array(ix.reshape(-1), pa.int64()),
+                    "node_iy": pa.array(iy.reshape(-1), pa.int64()),
+                }
+            )
+
+    return _geo(sf_dir).map_batches(
+        KnnNodes, fn_constructor_kwargs={"gref": gref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def q_gridded_points(sf_dir: str) -> ray.data.Dataset:
+    """Vector -> raster: rasterize the transformed points onto the
+    fixture raster's cell lattice (row/col per point, per-cell count +
+    z sum). Two-phase: per-batch partial sums, then a small groupby."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.pipelines.raster import raster_meta
+
+    meta = raster_meta(sf_dir)
+    x0, y0, dx, dy = meta["origin_x"], meta["origin_y"], meta["dx"], meta["dy"]
+    ncols, nrows = meta["ncols"], meta["nrows"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("region_index"), 0))
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        z = t.column("z_out").to_numpy(zero_copy_only=False)
+        col = np.floor((lon - x0) / dx)
+        row = np.floor((lat - y0) / dy)
+        inside = (col >= 0) & (col < ncols) & (row >= 0) & (row < nrows)
+        col = col[inside].astype(np.int64)
+        row = row[inside].astype(np.int64)
+        df = pd.DataFrame({"row": row, "col": col, "z": z[inside]})
+        g = df.groupby(["row", "col"], as_index=False).agg(
+            p_n=("z", "size"), p_z=("z", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["row", "col"]).aggregate(
+        Sum("p_n", alias_name="n_points"), Sum("p_z", alias_name="r_z")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "row": batch.column("row"),
+                "col": batch.column("col"),
+                "n_points": batch.column("n_points"),
+                "sum_z": pa.array(np.round(batch.column("r_z").to_numpy(), 3)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -191,3 +191,48 @@ SELECT user_id, date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY user_id, hour, event_type""",
 }
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Gap-based sessionization (streaming-shaped stateful op): shuffle
+    by user, per-user sort by event time, a new session starts after a
+    >gap silence. The per-user state never crosses users, so the only
+    shuffle is the user_id groupby; session ids are 0-based per user."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="stable")
+        ts = df["ts"].to_numpy()
+        new_sess = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(new_sess) - 1
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "session_id": sid,
+                            "ts": ts})
+        g = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
+        )
+        return g
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+ORACLES["sessionize"] = """
+WITH lagd AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM lagd
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS start_ts, max(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id"""
