@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_sep": raster.q_raster_sep,
         "raster_transform": raster.q_raster_transform,
         "raster_tile_manifest": raster.q_raster_tile_manifest,
+        "raster_coverage": raster.q_raster_coverage,
         # --- relational operator surface (O1/A1-A5 analogues) ---
         "tpch_q1": relational.q_tpch_q1,
         "orders_customer_join": relational.q_orders_customer_join,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textops.q_fingerprint,
         "minhash_pairs": textops.q_minhash_pairs,
         "neardup_jaccard": textops.q_neardup_jaccard,
+        "simhash_neardup": textops.q_simhash_neardup,
         "html_stats": textops.q_html_stats,
         "ann_topk": ann.q_ann_topk,
         "ann_ivf": ann.q_ann_ivf,
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_sep": oracle.q_raster_sep(fx),
         "raster_transform": oracle.q_raster_transform(fx),
         "raster_tile_manifest": oracle.q_raster_tile_manifest(fx),
+        "raster_coverage": oracle.q_raster_coverage(fx),
         **REL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "

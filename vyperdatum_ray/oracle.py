@@ -413,6 +413,15 @@ def q_neardup_embedding(fx: str, tau: float = 0.4) -> str:
     )
 
 
+def q_raster_coverage(fx: str) -> str:
+    return f"""WITH {_raster_ctes(fx)},
+tot AS (SELECT count(*) AS n_cells FROM cells),
+cov AS (SELECT count(*) AS n_covered FROM rwin WHERE rn = 1)
+SELECT t.n_cells, c.n_covered,
+  CAST(CASE WHEN c.n_covered = t.n_cells THEN 1 ELSE 0 END AS BIGINT) AS is_covered
+FROM tot t CROSS JOIN cov c"""
+
+
 def q_knn_grid_nodes(fx: str) -> str:
     """J5 kNN k=4: the containing cell's 2x2 corner nodes ranked by
     (squared distance, iy, ix) — ix0/iy0 clipping keeps all four

@@ -353,3 +353,14 @@ def write_raster_tiles(sf_dir: str, out_dir: str, allow_outside: bool = True) ->
         f.write(crs_wkt)
     return {"out_dir": out_dir, "n_tiles": len(manifest), "manifest": path,
             "crs_wkt": crs_path}
+
+
+def q_raster_coverage(sf_dir: str) -> pd.DataFrame:
+    """A4 coverage test (reference raster.py:45-58 is_covered): is every
+    raster cell covered by the stacked separation? One summary row."""
+    total = raster_cells(sf_dir, ["row"]).count()
+    covered = q_raster_sep(sf_dir).count()
+    return pd.DataFrame(
+        [{"n_cells": total, "n_covered": covered,
+          "is_covered": 1 if covered == total else 0}]
+    )

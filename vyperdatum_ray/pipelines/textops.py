@@ -256,19 +256,60 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
         batch_size=2048,
     )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["id"].unique())
-        if len(ids) < 2 or len(ids) > 64:  # skip degenerate / mega-buckets
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    # Group at a SALT granularity, not per bucket: a per-bucket
+    # map_groups costs one Python/pandas call per bucket (O(n_docs)
+    # calls — 80k at sf0.1, which dominated wall time). Instead group by
+    # (band_id, band_hash prefix) — ~1k bounded groups — and detect
+    # equal-hash runs vectorized inside each group. Raise PREFIX_BITS to
+    # keep group sizes bounded as the corpus grows.
+    PREFIX_BITS = 6
 
-    cand = ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def add_salt(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy()
+        return batch.append_column(
+            "bh_salt", pa.array(bh >> np.uint64(64 - PREFIX_BITS), pa.uint64())
+        )
+
+    def pairs_grouped(df: pd.DataFrame) -> pd.DataFrame:
+        bh = df["band_hash"].to_numpy().astype(np.uint64)
+        ids = df["id"].to_numpy()
+        order = np.argsort(bh, kind="stable")
+        bh, ids = bh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        ends = np.r_[starts[1:], len(bh)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > 64:  # degenerate / mega-bucket guard
+                continue
+            seg = np.sort(ids[s:e])
+            ia, ib = np.triu_indices(m, k=1)
+            a_parts.append(seg[ia])
+            b_parts.append(seg[ib])
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(a_parts),
+                             "id_b": np.concatenate(b_parts)})
+
+    cand = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["band_id", "bh_salt"])
+        .map_groups(pairs_grouped, batch_format="pandas")
+    )
+
+    # global pair dedup, again at salt granularity (64 bounded groups)
+    def add_pair_salt(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy().astype(np.uint64)
+        b = batch.column("id_b").to_numpy().astype(np.uint64)
+        salt = (a * np.uint64(2654435761) ^ b) & np.uint64(63)
+        return batch.append_column("pair_salt", pa.array(salt, pa.uint64()))
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
 
-    return cand.groupby("id_a").map_groups(dedup_pairs, batch_format="pandas")
+    cand = cand.map_batches(add_pair_salt, batch_format="pyarrow")
+    return cand.groupby("pair_salt").map_groups(dedup_pairs, batch_format="pandas")
 
 
 class SimHashStage:
@@ -401,3 +442,65 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
         fn_constructor_kwargs={"docs_ref": docs_ref, "tau": tau},
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
     )
+
+
+def q_simhash_neardup(sf_dir: str, bits_per_band: int = 16) -> ray.data.Dataset:
+    """SimHash near-dup candidates: split the 64-bit simhash into
+    64/bits_per_band bands; docs sharing any band value are candidates
+    (catches hamming-distance <= bands-1 neighbors deterministically).
+    Same bounded-salt grouping as MinHash-LSH."""
+    n_bands = 64 // bits_per_band
+    mask = np.uint64((1 << bits_per_band) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy().astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        band_id = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(bits_per_band))
+        vals = ((sh[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        return pa.table({
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_val": pa.array(vals, pa.uint64()),
+            "id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+        })
+
+    ds = q_simhash(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    def pairs_grouped(df: pd.DataFrame) -> pd.DataFrame:
+        bv = df["band_val"].to_numpy().astype(np.uint64)
+        ids = df["id"].to_numpy()
+        order = np.argsort(bv, kind="stable")
+        bv, ids = bv[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
+        ends = np.r_[starts[1:], len(bv)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > 64:
+                continue
+            seg = np.sort(ids[s:e])
+            ia, ib = np.triu_indices(m, k=1)
+            a_parts.append(seg[ia])
+            b_parts.append(seg[ib])
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(a_parts),
+                             "id_b": np.concatenate(b_parts)})
+
+    cand = ds.groupby(["band_id", "band_val"]).map_groups(
+        pairs_grouped, batch_format="pandas"
+    )
+
+    def add_pair_salt(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy().astype(np.uint64)
+        b = batch.column("id_b").to_numpy().astype(np.uint64)
+        salt = (a * np.uint64(2654435761) ^ b) & np.uint64(63)
+        return batch.append_column("pair_salt", pa.array(salt, pa.uint64()))
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = cand.map_batches(add_pair_salt, batch_format="pyarrow")
+    return cand.groupby("pair_salt").map_groups(dedup_pairs, batch_format="pandas")
