@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_coverage": raster.q_raster_coverage,
         # --- relational operator surface (O1/A1-A5 analogues) ---
         "tpch_q1": relational.q_tpch_q1,
+        "tpch_q3": relational.q_tpch_q3,
         "orders_customer_join": relational.q_orders_customer_join,
         "top_orders": relational.q_top_orders,
         "events_window": relational.q_events_window,

@@ -236,3 +236,63 @@ sess AS (
 SELECT user_id, session_id, count(*) AS n_events,
   min(ts) AS start_ts, max(ts) AS end_ts
 FROM sess GROUP BY user_id, session_id"""
+
+
+def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3 shape: 3-way join (customer |> orders |> lineitem) via
+    chained broadcast lookups — customer and the filtered orders are
+    small sides shipped once with ray.put; lineitem streams. Revenue per
+    order, top 10 by (revenue desc, orderkey)."""
+    cutoff = datetime.datetime(1995, 3, 15)
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[(orders["o_custkey"].isin(building)) & (orders["o_orderdate"] < cutoff)]
+    odate = pd.Series(orders["o_orderdate"].to_numpy(), index=orders["o_orderkey"].to_numpy())
+    odate_ref = ray.put(odate)
+
+    class RevenuePartial:
+        def __init__(self, ref):
+            self.odate = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.keys = set(self.odate.index)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.greater(batch.column("l_shipdate"),
+                                            pa.scalar(cutoff, type=pa.timestamp("us"))))
+            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            keep = np.fromiter((k in self.keys for k in ok), dtype=bool, count=len(ok))
+            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            df = pd.DataFrame({"l_orderkey": ok[keep], "rev": price * (1.0 - disc)})
+            g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    out = ds.map_batches(
+        RevenuePartial, fn_constructor_kwargs={"ref": odate_ref},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    ).groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="r_rev"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue": np.round(batch.column("r_rev").to_numpy(), 2),
+            }
+        )
+
+    out = out.map_batches(finalize, batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+ORACLES["tpch_q3"] = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""

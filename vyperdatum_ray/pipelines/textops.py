@@ -36,20 +36,29 @@ def _hash_utf8_fast(arr) -> np.ndarray:
     return pl.from_arrow(arr).hash(seed=42).to_numpy().astype(np.uint64)
 
 
-def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+def q_dedup_exact(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
     """Exact dedup of documents by full text: hash-partition, then keep
     min doc_id per distinct text (group-internal exact comparison, so
-    hash collisions cannot merge distinct texts)."""
+    hash collisions cannot merge distinct texts).
+
+    Shuffle granularity is a hash PREFIX (2^salt_bits bounded groups),
+    not the full hash — one Ray group per distinct text would cost a
+    Python call per document; inside each group the real per-text
+    reduction is one vectorized pandas groupby. All copies of a text
+    share its hash, hence its prefix group, so the reduction is exact."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("text_hash", pa.array(_hash_utf8_fast(batch.column("text")), pa.uint64()))
+        h = _hash_utf8_fast(batch.column("text"))
+        return batch.append_column(
+            "hash_salt", pa.array(h >> np.uint64(64 - salt_bits), pa.uint64())
+        )
 
     def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
         return g[["doc_id", "n_dups"]]
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_hash, batch_format="pyarrow")
-    return ds.groupby("text_hash").map_groups(reduce_group, batch_format="pandas")
+    return ds.groupby("hash_salt").map_groups(reduce_group, batch_format="pandas")
 
 
 def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
@@ -60,11 +69,12 @@ def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
 
     def add_key(batch: pa.Table) -> pa.Table:
         norm = pc.replace_substring_regex(batch.column("text"), NORMALIZE_PATTERN, "#")
+        salt = _hash_utf8_fast(norm) >> np.uint64(54)  # 1024 bounded groups
         return pa.table(
             {
                 "url": batch.column("url"),
                 "norm_text": norm,
-                "key_hash": pa.array(_hash_utf8_fast(norm), pa.uint64()),
+                "key_salt": pa.array(salt, pa.uint64()),
             }
         )
 
@@ -74,7 +84,7 @@ def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
     ds = ds.map_batches(add_key, batch_format="pyarrow")
-    return ds.groupby("key_hash").map_groups(reduce_group, batch_format="pandas")
+    return ds.groupby("key_salt").map_groups(reduce_group, batch_format="pandas")
 
 
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
