@@ -1,0 +1,97 @@
+"""Catalog ingestion parsers: sigma-inf format, external-region config,
+datum-name guessing, external-region upsert (S6/S8/F5/O4/§2.9)."""
+
+import numpy as np
+import pytest
+
+from vyperdatum_ray.core.config import (
+    guess_datum_from_string,
+    parse_sigma_inf,
+    read_region_config,
+    register_external_region,
+)
+
+SF = "/root/testdata/sf0.001"
+
+SIGMA_TEXT = """
+# comment line, ignored
+akglacier.navd88.lmsl=8.0
+akglacier.lmsl.mllw=4.5
+akglacier.lmsl.dtl=n/a
+conus.navd88.nad83=5.0
+conus.xgeoid17b=not-three-parts
+conus.sxgeoid17b.any=2.1
+random garbage
+nomatch.navd88.lmsl=9.9
+"""
+
+
+def test_parse_sigma_inf():
+    regions, geoids = parse_sigma_inf(SIGMA_TEXT, ["AKglacier_8301", "OtherRegion"])
+    ak = regions["AKglacier_8301"]
+    assert ak["tss"] == pytest.approx(0.08)     # navd88.lmsl, cm -> m
+    assert ak["mllw"] == pytest.approx(0.045)
+    assert ak["dtl"] == 0.0                     # n/a -> 0
+    assert ak["mhw"] == 0.0                     # unset -> 0
+    assert regions["OtherRegion"]["tss"] == 0.0
+    assert geoids["geoid12b"] == pytest.approx(0.05)   # conus.navd88.nad83
+    assert geoids["sxgeoid17b"] == pytest.approx(0.021)
+
+
+def test_parse_sigma_inf_ambiguous_prefix_raises():
+    with pytest.raises(ValueError):
+        parse_sigma_inf("ak.navd88.lmsl=1.0", ["AKone", "AKtwo"])
+
+
+def test_read_region_config():
+    text = """
+[Default]
+reference_frame = NAD83(2011)
+reference_geoid = sgeoid12x
+[uncertainty]
+uncertainty_tss = 0.01
+"""
+    settings = read_region_config(text)
+    assert settings["reference_frame"] == "NAD83(2011)"
+    assert settings["reference_geoid"] == "sgeoid12x"
+    assert settings["uncertainty_tss"] == "0.01"
+
+
+def test_guess_datum_from_string():
+    assert guess_datum_from_string("NOAA MLLW depth") == "mllw"
+    assert guess_datum_from_string("NAVD88 height") == "navd88"
+    assert guess_datum_from_string("totally unknown") == ""
+    with pytest.raises(ValueError):
+        guess_datum_from_string("mllw or maybe mhw")
+
+
+def test_register_external_region_upsert():
+    from vyperdatum_ray.catalog import Catalog, RegionInfo
+    from vyperdatum_ray.core.geometry import polygon_from_wkb, polygon_to_wkb
+    from vyperdatum_ray.fixtures import ensure_fixtures, hexagon
+
+    cat = Catalog.from_dir(ensure_fixtures(SF)["catalog_dir"])
+    verts = hexagon(-73.0, 36.5, 0.3)
+    info = RegionInfo(
+        name="USER_custom_1", ord=0, geoid_name="sgeoid12x",
+        geoid_frame="NAD83(2011)", frame_dlon=0.0, frame_dlat=0.0,
+        polygon=polygon_from_wkb(polygon_to_wkb(verts)),
+    )
+    grid = cat.grids["SYNcoastA_8301/tss"]
+    sig = dict(tss=0.01, mhhw=0, mhw=0, mlw=0, mllw=0.02, dtl=0, mtl=0)
+    cat2 = register_external_region(
+        cat, info, {"USER_custom_1/tss": grid, "USER_custom_1/mllw": grid}, sig
+    )
+    # new region appended LAST, ords renumbered, original catalog intact
+    assert cat2.region_names[-1] == "USER_custom_1"
+    assert [r.ord for r in cat2.regions] == list(range(len(cat2.regions)))
+    assert "USER_custom_1" not in cat.region_names
+    assert cat2.sigmas["USER_custom_1"]["mllw"] == 0.02
+    assert cat2.version.endswith("+ext")
+    # upsert replaces (remove-then-append): registering again keeps one
+    cat3 = register_external_region(cat2, info, {}, sig)
+    assert cat3.region_names.count("USER_custom_1") == 1
+    # PIP through the new catalog sees the new region
+    tree = cat3.tree()
+    memb = tree.query_points(np.array([-73.0]), np.array([36.5]))
+    assert memb[0, cat3.region_names.index("USER_custom_1")]
