@@ -22,18 +22,30 @@ from vyperdatum_ray.pipelines.flagship import (
 from vyperdatum_ray.stages.geocode import geocode_batch, keep_geocoded
 
 
-def _geo(sf_dir: str) -> ray.data.Dataset:
+def _geo(sf_dir: str, project: list[str] | None = None) -> ray.data.Dataset:
     """pages -> geocode -> filter (no cell index; cheapest SQL-checkable
-    prefix)."""
+    prefix).
+
+    ``project`` drops columns immediately after the geocode filter —
+    queries that never touch ``text``/``warc_ts`` should not drag the
+    wide string columns through every downstream stage and shuffle
+    (prune-early, SURVEY.md §4.2)."""
     from vyperdatum_ray.fixtures import pages_paths
 
-    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "warc_ts", "text", "lang"])
+    read_cols = ["url", "warc_ts", "text", "lang"]
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=read_cols)
     ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
-    return ds.map_batches(keep_geocoded, batch_format="pyarrow")
+    ds = ds.map_batches(keep_geocoded, batch_format="pyarrow")
+    if project is not None:
+        ds = ds.select_columns(project)
+    return ds
+
+
+GEO_SLIM = ["url", "lat", "lon"]  # geometry-only downstreams
 
 
 def q_geocode(sf_dir: str) -> ray.data.Dataset:
-    return _geo(sf_dir).select_columns(["url", "lat", "lon", "geocode_src"])
+    return _geo(sf_dir, ["url", "lat", "lon", "geocode_src"])
 
 
 def q_text_passthrough(sf_dir: str) -> ray.data.Dataset:
@@ -45,7 +57,7 @@ def q_text_passthrough(sf_dir: str) -> ray.data.Dataset:
 def q_tile_assign(sf_dir: str) -> ray.data.Dataset:
     from vyperdatum_ray.stages.cellindex import cell_index_batch
 
-    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(cell_index_batch, batch_format="pyarrow")
     return ds.select_columns(["url", "tile_id"])
 
 
@@ -54,7 +66,7 @@ def q_cell_index(sf_dir: str) -> ray.data.Dataset:
     in ANSI SQL)."""
     from vyperdatum_ray.stages.cellindex import cell_index_batch
 
-    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(cell_index_batch, batch_format="pyarrow")
     return ds.select_columns(["url", "h3_9", "s2_13", "tile_id"])
 
 
@@ -69,7 +81,7 @@ def q_tile_counts(sf_dir: str) -> ray.data.Dataset:
         tid, cnt = np.unique(batch.column("tile_id").to_numpy(), return_counts=True)
         return pa.table({"tile_id": tid, "partial_n": cnt.astype(np.int64)})
 
-    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(cell_index_batch, batch_format="pyarrow")
     ds = ds.map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("tile_id").aggregate(Sum("partial_n", alias_name="n_rows"))
     return out
@@ -77,7 +89,7 @@ def q_tile_counts(sf_dir: str) -> ray.data.Dataset:
 
 def q_extent(sf_dir: str) -> pd.DataFrame:
     """Global extent (A1) via distributed tree-aggregate."""
-    res = _geo(sf_dir).aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
+    res = _geo(sf_dir, GEO_SLIM).aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
     return pd.DataFrame(
         [
             {
@@ -96,7 +108,7 @@ def _with_pip_region(sf_dir: str) -> ray.data.Dataset:
     catalog = load_catalog(sf_dir)
     names = np.array([""] + catalog.region_names, dtype=object)
     catalog_ref = ray.put(catalog)
-    ds = _geo(sf_dir).map_batches(
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(
         RegionJoiner,
         fn_constructor_kwargs={"catalog_ref": catalog_ref},
         batch_format="pyarrow",
@@ -228,7 +240,7 @@ def q_hot_tiles(sf_dir: str, salt_k: int = 8, min_rows: int = 200) -> ray.data.D
         return pa.table({"tile_salt": pa.array(k, pa.uint64()),
                          "partial_n": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    ds = _geo(sf_dir).map_batches(cell_index_batch, batch_format="pyarrow")
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(cell_index_batch, batch_format="pyarrow")
     ds = ds.map_batches(partial, batch_format="pyarrow")
     salted = ds.groupby("tile_salt").aggregate(Sum("partial_n", alias_name="n_salted"))
 
@@ -301,7 +313,7 @@ def q_sampled_transform(sf_dir: str, d: float = SAMPLE_D) -> ray.data.Dataset:
         key = np.unique((cx + (1 << 20)) * (1 << 21) + (cy + (1 << 20)))
         return pa.table({"cell_key": pa.array(key, pa.int64())})
 
-    geo = _geo(sf_dir)
+    geo = _geo(sf_dir, GEO_SLIM)
     cells = geo.map_batches(to_cells, batch_format="pyarrow")
     cells = cells.groupby("cell_key").count()
 
@@ -395,7 +407,7 @@ def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
                 }
             )
 
-    return _geo(sf_dir).map_batches(
+    return _geo(sf_dir, GEO_SLIM).map_batches(
         NearestNode,
         fn_constructor_kwargs={"gref": gref},
         batch_format="pyarrow",
@@ -446,7 +458,7 @@ def q_knn_grid_nodes(sf_dir: str, k: int = 4) -> ray.data.Dataset:
                 }
             )
 
-    return _geo(sf_dir).map_batches(
+    return _geo(sf_dir, GEO_SLIM).map_batches(
         KnnNodes, fn_constructor_kwargs={"gref": gref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
     )
