@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datum_transform": q.q_datum_transform,
         "datum_transform_inv": q.q_datum_transform_inv,
         "datum_transform_mhw": q.q_datum_transform_mhw,
+        "datum_transform_navd88": q.q_datum_transform_navd88,
         "hot_tiles": q.q_hot_tiles,
         "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "datum_transform": oracle.q_datum_transform(fx),
         "datum_transform_inv": oracle.q_datum_transform_inv(fx),
         "datum_transform_mhw": oracle.q_datum_transform_mhw(fx),
+        "datum_transform_navd88": oracle.q_datum_transform_navd88(fx),
         "hot_tiles": oracle.q_hot_tiles(fx),
         "uncertainty_table": oracle.q_uncertainty_table(fx),
         "neardup_embedding": oracle.q_neardup_embedding(fx),

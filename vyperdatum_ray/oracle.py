@@ -81,18 +81,29 @@ memb AS (
 )"""
 
 
-def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False) -> str:
+def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
+                    from_navd88: bool = False) -> str:
     """CTEs computing per-(point, region) z for the ellipse-><target>
     pipeline (geoid forward, tss inverse, <target> forward) — or its
     inverse (<target> -> ellipse: reversed steps, signs toggled, height
-    output, zero uncertainty) — plus composed uncertainty and
-    grid-coverage validity."""
-    if inverse:
+    output, zero uncertainty), or the 2-step navd88-><target> (the
+    common geoid prefix cancels, pipeline.py:116-142) — plus composed
+    uncertainty and grid-coverage validity."""
+    if from_navd88:
+        z_expr = f"-((0.0 + z.g_tss) - z.g_{target})"
+        unc_expr = f"s.tss + s.{target}"  # no geoid sigma: input not ellipse
+        surfaces = f"('tss', 1.0), ('{target}', -1.0)"
+        geoid_sel = "CAST(NULL AS DOUBLE) AS g_geoid,"
+    elif inverse:
         z_expr = f"(((0.0 + z.g_{target}) - z.g_tss) + z.g_geoid)"
         unc_expr = "0.0"  # out 'ellipse' -> no transform uncertainty (core.py:334-335)
+        surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
+        geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
     else:
         z_expr = f"-(((0.0 - z.g_geoid) + z.g_tss) - z.g_{target})"
         unc_expr = f"gs.sigma + s.tss + s.{target}"
+        surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
+        geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
     return f"""
 rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
 gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
@@ -112,7 +123,7 @@ samp AS (
     CASE WHEN s.surface = 'geoid' THEN t.geoid_name
          ELSE t.region || '/' || s.surface END AS grid_key
   FROM tr t
-  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)) AS s(surface, sgn)
+  CROSS JOIN (VALUES {surfaces}) AS s(surface, sgn)
 ),
 sampq AS (
   SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
@@ -141,7 +152,7 @@ interp AS (
 ),
 zr AS (
   SELECT url, region, region_ord,
-    max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
+    {geoid_sel}
     max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
     max(CASE WHEN surface = '{target}' THEN val END) AS g_{target},
     bool_and(ok) AS ok_all
@@ -363,6 +374,14 @@ def q_datum_transform_inv(fx: str) -> str:
     """mllw -> ellipse inverse (reversed steps, toggled signs, height
     out, zero uncertainty)."""
     return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx, inverse=True)}
+SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w WHERE w.rn = 1"""
+
+
+def q_datum_transform_navd88(fx: str) -> str:
+    """navd88 -> mllw: the geoid step cancels as the common prefix of
+    the two datum definitions, leaving tss-inverse + mllw-forward."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx, from_navd88=True)}
 SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
 FROM zwin w WHERE w.rn = 1"""
 

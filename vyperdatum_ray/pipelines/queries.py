@@ -208,6 +208,20 @@ def q_datum_transform_inv(sf_dir: str) -> ray.data.Dataset:
     return ds.select_columns(["url", "region", "region_index", "z_out", "unc"])
 
 
+def q_datum_transform_navd88(sf_dir: str) -> ray.data.Dataset:
+    """navd88 -> mllw (the common NOAA chart-datum conversion): the
+    shared geoid step cancels as the common prefix (F1), leaving
+    tss-inverse + mllw-forward; no geoid sigma in the uncertainty."""
+    import pyarrow.compute as pc
+
+    ds = flagship_pipeline(sf_dir, from_datum="navd88", to_datum="mllw")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "region", "region_index", "z_out", "unc"])
+
+
 def q_datum_transform_mhw(sf_dir: str) -> ray.data.Dataset:
     """ellipse -> mhw ('noaa chart height' family target): same 3-step
     shape as mllw but the mhw surface and mhw sigma."""
