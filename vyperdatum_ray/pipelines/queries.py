@@ -346,17 +346,17 @@ def q_sampled_transform(sf_dir: str, d: float = SAMPLE_D) -> ray.data.Dataset:
         )
 
     cells = cells.map_batches(add_centers, batch_format="pyarrow")
-    cells = cells.map_batches(
-        JoinTransform,
-        fn_constructor_kwargs={
-            "catalog_ref": catalog_ref, "from_datum": "ellipse",
-            "to_datum": "mllw", "in_is_height": True, "out_is_height": False,
-        },
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    # bounded small result (<= area/d^2 cells): collect the distinct
+    # centers and transform them DRIVER-SIDE through the same kernels —
+    # spinning an actor pool for a few thousand rows costs more than
+    # the compute
+    centers = cells.to_pandas().sort_values("cell_key")
+    jt = JoinTransform(
+        catalog_ref=catalog, from_datum="ellipse", to_datum="mllw",
+        in_is_height=True, out_is_height=False,
     )
-    # bounded small result (<= area/d^2 cells) -> broadcast lookup
-    small = cells.select_columns(["cell_key", "z_out", "unc", "region_index"]).to_pandas()
-    small = small.sort_values("cell_key")
+    out_t = jt(pa.Table.from_pandas(centers, preserve_index=False))
+    small = out_t.select(["cell_key", "z_out", "unc", "region_index"]).to_pandas()
     lut_ref = ray.put(
         (
             small["cell_key"].to_numpy(),
