@@ -67,11 +67,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_transform": raster.q_raster_transform,
         "raster_tile_manifest": raster.q_raster_tile_manifest,
         "raster_coverage": raster.q_raster_coverage,
+        "zonal_stats": raster.q_zonal_stats,
         # --- relational operator surface (O1/A1-A5 analogues) ---
         "tpch_q1": relational.q_tpch_q1,
         "tpch_q3": relational.q_tpch_q3,
         "orders_customer_join": relational.q_orders_customer_join,
         "top_orders": relational.q_top_orders,
+        "top_orders_per_segment": relational.q_top_orders_per_segment,
         "events_window": relational.q_events_window,
         "sessionize": relational.q_sessionize,
         # --- training-data operators ---
@@ -86,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_jaccard": textops.q_neardup_jaccard,
         "simhash_neardup": textops.q_simhash_neardup,
         "html_stats": textops.q_html_stats,
+        "distinct_hosts": textops.q_distinct_hosts,
+        "approx_distinct_hosts": textops.q_approx_distinct_hosts,
         "ann_topk": ann.q_ann_topk,
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding": ann.q_neardup_embedding,
@@ -125,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_transform": oracle.q_raster_transform(fx),
         "raster_tile_manifest": oracle.q_raster_tile_manifest(fx),
         "raster_coverage": oracle.q_raster_coverage(fx),
+        "zonal_stats": oracle.q_zonal_stats(fx),
         **REL,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
@@ -145,6 +150,10 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(length(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space, "
             "CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct "
             "FROM documents"
+        ),
+        "distinct_hosts": (
+            "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "
+            "AS n_hosts FROM read_parquet('{fx}/pages/*.parquet')".format(fx=fx)
         ),
         "html_stats": (
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes "

@@ -116,3 +116,13 @@ def test_neardup_embedding_pairs_symmetric_threshold(ray_session):
     vb = np.asarray(t.loc[b, "embedding"], dtype=np.float64)
     cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
     assert cos >= 0.4
+
+
+def test_hll_estimate_close_to_exact(ray_session):
+    from vyperdatum_ray.pipelines.textops import q_approx_distinct_hosts, q_distinct_hosts
+
+    exact = int(q_distinct_hosts(SF)["n_hosts"].iloc[0])
+    approx = int(q_approx_distinct_hosts(SF)["n_hosts_approx"].iloc[0])
+    assert exact > 0
+    # p=12 registers: ~1.6% sigma; 10% is a very safe determinstic bound
+    assert abs(approx - exact) <= max(2, int(0.1 * exact))

@@ -432,6 +432,24 @@ def q_neardup_embedding(fx: str, tau: float = 0.4) -> str:
     )
 
 
+def q_zonal_stats(fx: str) -> str:
+    """Per-region zonal statistics over the raster's transformed depth
+    (covered, finite-elevation cells; allow_outside=False so z =
+    -(elev + sep) everywhere counted)."""
+    return f"""WITH {_raster_ctes(fx)},
+win1 AS (SELECT * FROM rwin WHERE rn = 1),
+zs AS (
+  SELECT CAST(w.cand_pos AS INTEGER) AS region_index,
+    {_r3("-1.0 * (c.elevation + w.sep)")} AS z
+  FROM cells c
+  JOIN win1 w ON w.row = c.row AND w.col = c.col
+  WHERE isfinite(c.elevation)
+)
+SELECT region_index, count(*) AS n_cells,
+  min(z) AS min_z, max(z) AS max_z, {_r3("sum(z)")} AS sum_z
+FROM zs GROUP BY region_index"""
+
+
 def q_raster_coverage(fx: str) -> str:
     return f"""WITH {_raster_ctes(fx)},
 tot AS (SELECT count(*) AS n_cells FROM cells),

@@ -364,3 +364,45 @@ def q_raster_coverage(sf_dir: str) -> pd.DataFrame:
         [{"n_cells": total, "n_covered": covered,
           "is_covered": 1 if covered == total else 0}]
     )
+
+
+def q_zonal_stats(sf_dir: str) -> ray.data.Dataset:
+    """Zonal statistics: per-region n / min / max / sum of transformed
+    depth over the raster (covered cells). Two-phase: vectorized
+    per-batch partials, tiny groupby merge — min/max/sum are all
+    associative so the merge is exact."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = raster_transform(sf_dir, allow_outside=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.greater_equal(batch.column("region_index"), 0),
+                    pc.is_finite(batch.column("z")))
+        )
+        df = t.select(["region_index", "z"]).to_pandas()
+        g = df.groupby("region_index", as_index=False).agg(
+            p_n=("z", "size"), p_min=("z", "min"), p_max=("z", "max"), p_sum=("z", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("region_index").aggregate(
+        Sum("p_n", alias_name="n_cells"),
+        Min("p_min", alias_name="min_z"),
+        Max("p_max", alias_name="max_z"),
+        Sum("p_sum", alias_name="r_sum"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_index": batch.column("region_index"),
+                "n_cells": batch.column("n_cells"),
+                "min_z": batch.column("min_z"),
+                "max_z": batch.column("max_z"),
+                "sum_z": pa.array(np.round(batch.column("r_sum").to_numpy(), 3)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -296,3 +296,56 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-group top-k: highest-value orders per market segment.
+    Per-batch local top-k (a combiner — each batch forwards at most
+    k rows per segment) then an exact per-group final top-k."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(
+        pd.Series(cust["c_mktsegment"].to_numpy(), index=cust["c_custkey"].to_numpy())
+    )
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.seg = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "c_mktsegment": self.seg.reindex(
+                        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                    ).to_numpy(),
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                    "o_totalprice": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+                }
+            )
+            df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            return pa.Table.from_pandas(
+                df.groupby("c_mktsegment", as_index=False).head(self.k),
+                preserve_index=False,
+            )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1)
+        return df[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cand = ds.map_batches(
+        LocalTopK, fn_constructor_kwargs={"ref": seg_ref, "k": k},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+    return cand.groupby("c_mktsegment").map_groups(final_topk, batch_format="pandas")
+
+
+ORACLES["top_orders_per_segment"] = """
+SELECT c_mktsegment,
+  row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+  o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rank <= 3"""
