@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": relational.q_top_orders_per_segment,
         "events_window": relational.q_events_window,
         "sessionize": relational.q_sessionize,
+        "asof_join": relational.q_asof_join,
+        "region_median": relational.q_region_median,
         # --- training-data operators ---
         "dedup_exact": textops.q_dedup_exact,
         "dedup_normalized": textops.q_dedup_normalized,
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_grid_node": oracle.q_knn_grid_node(fx),
         "knn_grid_nodes": oracle.q_knn_grid_nodes(fx),
         "gridded_points": oracle.q_gridded_points(fx),
+        "region_median": oracle.q_region_median(fx),
         "sampled_transform": oracle.q_sampled_transform(fx),
         "raster_valid_counts": oracle.q_raster_valid_counts(fx),
         "raster_sep": oracle.q_raster_sep(fx),

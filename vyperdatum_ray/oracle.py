@@ -501,6 +501,26 @@ WHERE row >= 0 AND row < nrows AND col >= 0 AND col < ncols
 GROUP BY row, col"""
 
 
+def q_region_median(fx: str) -> str:
+    """Exact per-region median of z_out, replicating the engine's
+    histogram median: lower/upper middle order statistics averaged as
+    (lo + hi) / 2 (NOT quantile interpolation — same expression both
+    sides)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)},
+zs AS (SELECT region_ord, z_out FROM zwin WHERE rn = 1),
+ranked AS (
+  SELECT region_ord, z_out,
+    row_number() OVER (PARTITION BY region_ord ORDER BY z_out) AS rn,
+    count(*) OVER (PARTITION BY region_ord) AS n
+  FROM zs
+)
+SELECT CAST(region_ord AS BIGINT) AS region_index,
+  max(n) AS n_points,
+  (max(CASE WHEN rn = (n - 1) // 2 + 1 THEN z_out END)
+   + max(CASE WHEN rn = n // 2 + 1 THEN z_out END)) / 2 AS median_z
+FROM ranked GROUP BY region_ord"""
+
+
 def q_sampled_transform(fx: str, d: float = 0.05) -> str:
     """O2 sample-distance accelerator: transform occupied coarse-cell
     centers once, assign per point. Mirrors q_sampled_transform's

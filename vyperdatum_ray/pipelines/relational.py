@@ -349,3 +349,86 @@ SELECT c_mktsegment,
   o_orderkey, o_totalprice
 FROM orders JOIN customer ON o_custkey = c_custkey
 QUALIFY rank <= 3"""
+
+
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """Stream-to-stream as-of join: each purchase event matched to the
+    same user's most recent click at-or-before it. Ray Data has no asof
+    join operator; the composition is hash-shuffle by user +
+    per-group sorted searchsorted — the documented partitioning
+    assumption is that one user's history fits one group."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values("ts")
+        c = df[df["event_type"] == "click"].sort_values("ts")
+        if p.empty or c.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=df["user_id"].dtype),
+                "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                "click_ts": pd.Series(dtype="datetime64[us]"),
+            })
+        cts = c["ts"].to_numpy()
+        pts = p["ts"].to_numpy()
+        idx = np.searchsorted(cts, pts, side="right") - 1
+        ok = idx >= 0
+        return pd.DataFrame({
+            "user_id": p["user_id"].to_numpy()[ok],
+            "purchase_ts": pts[ok],
+            "click_ts": cts[idx[ok]],
+        })
+
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    value_set=pa.array(["purchase", "click"]))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ORACLES["asof_join"] = """
+WITH p AS (SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.purchase_ts, c.click_ts
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts"""
+
+
+def q_region_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-region median of the transformed depth via bounded
+    histogram partials: z is a 3-decimal quantity, so per-batch
+    bincounts over integer millimetre bins make the median EXACT while
+    the shuffle carries only (region, bin, count) rows — never the data
+    (the scalable exact-quantile trick for fixed-precision values)."""
+    from vyperdatum_ray.pipelines.flagship import flagship_pipeline
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("region_index"), 0))
+        r = t.column("region_index").to_numpy(zero_copy_only=False).astype(np.int64)
+        zmm = np.round(t.column("z_out").to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        df = pd.DataFrame({"region_index": r, "zmm": zmm})
+        g = df.groupby(["region_index", "zmm"], as_index=False).size()
+        g = g.rename(columns={"size": "p_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    hist = ds.groupby(["region_index", "zmm"]).aggregate(Sum("p_n", alias_name="n"))
+
+    def median_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("zmm")
+        n = int(df["n"].sum())
+        cum = df["n"].cumsum().to_numpy()
+        zv = df["zmm"].to_numpy() / 1000.0
+        lo_pos = (n - 1) // 2
+        hi_pos = n // 2
+        lo = zv[np.searchsorted(cum, lo_pos + 1)]
+        hi = zv[np.searchsorted(cum, hi_pos + 1)]
+        return pd.DataFrame({
+            "region_index": [int(df["region_index"].iloc[0])],
+            "n_points": [n],
+            "median_z": [(lo + hi) / 2],
+        })
+
+    return hist.groupby("region_index").map_groups(median_of_group, batch_format="pandas")
+
+
+ORACLES_MEDIAN_NOTE = "region_median oracle lives in oracle.py (needs the transform CTEs)"
