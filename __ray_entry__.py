@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.q_events_window,
         "sessionize": relational.q_sessionize,
         "asof_join": relational.q_asof_join,
+        "shuffle_join": relational.q_shuffle_join,
+        "session_join": relational.q_session_join,
         "region_median": relational.q_region_median,
         # --- training-data operators ---
         "dedup_exact": textops.q_dedup_exact,

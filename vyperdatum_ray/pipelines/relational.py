@@ -432,3 +432,88 @@ def q_region_median(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES_MEDIAN_NOTE = "region_median oracle lives in oracle.py (needs the transform CTEs)"
+
+
+def q_shuffle_join(sf_dir: str) -> ray.data.Dataset:
+    """Big-big shuffle hash join via the native Dataset.join (both
+    sides hash-partitioned on the key — the path for joins where no
+    side fits a broadcast): lineitem |> orders on orderkey, then
+    revenue per order priority."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
+            "rev": price * (1.0 - disc),
+        })
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            p_n=("rev", "size"), p_rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).aggregate(Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="r_rev"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_items": batch.column("n_items"),
+            "revenue": np.round(batch.column("r_rev").to_numpy(), 2),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+ORACLES["shuffle_join"] = """
+SELECT o_orderpriority, count(*) AS n_items,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority"""
+
+
+def q_session_join(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Interval join: each 'error' event joined to its containing
+    session (sessions = gap-based intervals over ALL the user's
+    events). Per-user state keeps the interval join shuffle-free beyond
+    the user_id partition — the documented partitioning assumption."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="stable")
+        ts = df["ts"].to_numpy()
+        new_sess = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(new_sess) - 1
+        err = df["event_type"].to_numpy() == "error"
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy()[err],
+            "ts": ts[err],
+            "session_id": sid[err],
+        })
+
+    ds = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ORACLES["session_join"] = """
+WITH lagd AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM lagd
+)
+SELECT user_id, ts, session_id FROM sess WHERE event_type = 'error'"""
