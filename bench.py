@@ -33,8 +33,13 @@ BENCH_QUERIES = [
     "sampled_transform",
     "raster_transform",
     "tpch_q1",
+    "tpch_q3",
     "orders_customer_join",
+    "shuffle_join",
     "sessionize",
+    "asof_join",
+    "region_median",
+    "zonal_stats",
     "dedup_exact",
     "minhash_pairs",
     "neardup_jaccard",
