@@ -14,7 +14,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -75,6 +76,7 @@ def main(argv):
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
+    E._SF001 = SF_DIR  # rebind the oracle fixture dir to the swept scale
     qs = E.queries()
     oracles = E.oracle_sql()
     only = set(argv) or set(qs)

@@ -95,3 +95,18 @@ def test_register_external_region_upsert():
     tree = cat3.tree()
     memb = tree.query_points(np.array([-73.0]), np.array([36.5]))
     assert memb[0, cat3.region_names.index("USER_custom_1")]
+
+
+def test_resolve_band_roles():
+    from vyperdatum_ray.core.config import resolve_band_roles
+
+    # depth preferred over elevation; case-insensitive
+    r = resolve_band_roles(["Elevation", "Depth", "Vertical Uncertainty", "Contributor"])
+    assert r == {"elevation": 1, "uncertainty": 2, "contributor": 3}
+    # sole band is elevation regardless of name
+    assert resolve_band_roles(["whatever"])["elevation"] == 0
+    # uncertainty falls through 'uncertainty' -> 'vertical uncertainty'
+    assert resolve_band_roles(["depth", "Uncertainty"])["uncertainty"] == 1
+    # missing roles -> None
+    r = resolve_band_roles(["band_a", "band_b"])
+    assert r == {"elevation": None, "uncertainty": None, "contributor": None}

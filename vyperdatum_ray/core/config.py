@@ -116,3 +116,33 @@ def register_external_region(catalog, region_info, grids: dict, sigmas: dict,
         geoid_sigmas=new_geoid,
         version=catalog.version + "+ext",
     )
+
+
+def resolve_band_roles(layer_names: list[str]) -> dict:
+    """M9 band-role resolution by case-insensitive name
+    (reference raster.py:100-158): elevation = 'depth' | 'elevation' |
+    the sole band; uncertainty = 'uncertainty' | 'vertical
+    uncertainty'; contributor = 'contributor'. Missing roles map to
+    None (downstream treats them as absent, e.g. uncertainty built
+    purely from the sep model, raster.py:322-325)."""
+    lowered = [n.lower() for n in layer_names]
+
+    if len(lowered) == 1:
+        elevation = 0
+    elif "depth" in lowered:
+        elevation = lowered.index("depth")
+    elif "elevation" in lowered:
+        elevation = lowered.index("elevation")
+    else:
+        elevation = None
+
+    if "uncertainty" in lowered:
+        uncertainty = lowered.index("uncertainty")
+    elif "vertical uncertainty" in lowered:
+        uncertainty = lowered.index("vertical uncertainty")
+    else:
+        uncertainty = None
+
+    contributor = lowered.index("contributor") if "contributor" in lowered else None
+    return {"elevation": elevation, "uncertainty": uncertainty,
+            "contributor": contributor}

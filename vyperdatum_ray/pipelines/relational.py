@@ -37,13 +37,20 @@ def q_tpch_q1(sf_dir: str) -> ray.data.Dataset:
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        # 2-decimal money in integer cents: the disc_price product is a
+        # 4-decimal quantity whose float sum is partitioning-order
+        # dependent at half-cent ties — int64 arithmetic is exact
+        ip = np.rint(price * 100.0).astype(np.int64)
+        idisc = np.rint(disc * 100.0).astype(np.int64)
         df = pd.DataFrame(
             {
                 "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
                 "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
-                "qty": batch.column("l_quantity").to_numpy(zero_copy_only=False),
-                "price": price,
-                "disc_price": price * (1.0 - disc),
+                "qty": np.rint(
+                    batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+                "price": ip,
+                "disc_price": ip * (100 - idisc),
             }
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -69,9 +76,9 @@ def q_tpch_q1(sf_dir: str) -> ray.data.Dataset:
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": np.round(batch.column("r_qty").to_numpy(), 2),
-                "sum_base_price": np.round(batch.column("r_price").to_numpy(), 2),
-                "sum_disc_price": np.round(batch.column("r_disc").to_numpy(), 2),
+                "sum_qty": batch.column("r_qty").to_numpy() / 100.0,
+                "sum_base_price": batch.column("r_price").to_numpy() / 100.0,
+                "sum_disc_price": batch.column("r_disc").to_numpy() / 10000.0,
                 "count_order": batch.column("count_order"),
             }
         )
@@ -171,9 +178,10 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
 ORACLES = {
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS sum_disc_price,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -264,7 +272,9 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
             keep = np.fromiter((k in self.keys for k in ok), dtype=bool, count=len(ok))
             price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
             disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-            df = pd.DataFrame({"l_orderkey": ok[keep], "rev": price * (1.0 - disc)})
+            ip = np.rint(price * 100.0).astype(np.int64)
+            idisc = np.rint(disc * 100.0).astype(np.int64)
+            df = pd.DataFrame({"l_orderkey": ok[keep], "rev": ip * (100 - idisc)})
             g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
             return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -279,7 +289,7 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey"),
-                "revenue": np.round(batch.column("r_rev").to_numpy(), 2),
+                "revenue": batch.column("r_rev").to_numpy() / 10000.0,
             }
         )
 
@@ -288,7 +298,9 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
 
 
 ORACLES["tpch_q3"] = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -447,9 +459,11 @@ def q_shuffle_join(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        ip = np.rint(price * 100.0).astype(np.int64)
+        idisc = np.rint(disc * 100.0).astype(np.int64)
         df = pd.DataFrame({
             "o_orderpriority": batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
-            "rev": price * (1.0 - disc),
+            "rev": ip * (100 - idisc),
         })
         g = df.groupby("o_orderpriority", as_index=False).agg(
             p_n=("rev", "size"), p_rev=("rev", "sum"))
@@ -463,7 +477,7 @@ def q_shuffle_join(sf_dir: str) -> ray.data.Dataset:
         return pa.table({
             "o_orderpriority": batch.column("o_orderpriority"),
             "n_items": batch.column("n_items"),
-            "revenue": np.round(batch.column("r_rev").to_numpy(), 2),
+            "revenue": batch.column("r_rev").to_numpy() / 10000.0,
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -471,7 +485,8 @@ def q_shuffle_join(sf_dir: str) -> ray.data.Dataset:
 
 ORACLES["shuffle_join"] = """
 SELECT o_orderpriority, count(*) AS n_items,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority"""
 
