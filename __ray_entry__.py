@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": textops.q_dedup_exact,
         "dedup_normalized": textops.q_dedup_normalized,
         "token_count": textops.q_token_count,
+        "token_freq": textops.q_token_freq,
+        "quality_filter": textops.q_quality_filter,
         "quality_score": textops.q_quality_score,
         "langid": textops.q_langid,
         "simhash": textops.q_simhash,
@@ -148,6 +150,18 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             r"SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "token_freq": (
+            r"SELECT token, count(*) AS n FROM ("
+            r"SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents"
+            r") WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "quality_filter": (
+            r"SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+            r"CAST(CASE WHEN length(regexp_extract_all(text, '\S+')) >= 10 "
+            r"AND length(regexp_extract_all(text, '[A-Za-z]')) "
+            r"/ greatest(CAST(length(text) AS DOUBLE), 1.0) > 0.5 "
+            r"THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents"
         ),
         "quality_score": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

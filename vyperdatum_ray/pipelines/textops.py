@@ -584,3 +584,48 @@ def q_approx_distinct_hosts(sf_dir: str) -> pd.DataFrame:
     if est <= 2.5 * float(m) and zeros > 0:
         est = float(m) * np.log(float(m) / zeros)  # small-range correction
     return pd.DataFrame([{"n_hosts_approx": int(round(est))}])
+
+
+def q_token_freq(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Corpus token frequency, top-k: per-batch vectorized token counts
+    (the combiner — the shuffle moves (token, count) partials, never
+    token streams), groupby-sum, deterministic (count desc, token) sort
+    + limit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.coalesce(batch.column("text"), ""), r"\s+")
+        )
+        toks = pc.filter(toks, pc.greater(pc.utf8_length(toks), 0))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "token": vc.field("values"),
+            "p_n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("token").aggregate(Sum("p_n", alias_name="n"))
+    return out.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Training-data keep/drop verdict per document: token count and
+    alphabetic-character ratio thresholds (the filter stage every
+    web-scale text pipeline runs after scoring)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        ratio = pc.divide(n_alpha, pc.max_element_wise(n_chars, 1.0))
+        keep = pc.and_(pc.greater_equal(n_tok, 10), pc.greater(ratio, 0.5))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tok,
+            "keep": pc.cast(keep, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
