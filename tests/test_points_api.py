@@ -83,3 +83,31 @@ def test_inverse_round_trip(catalog):
     assert (r2 == r1).all()
     # two 3-decimal roundings -> +/-0.002 band (test_core.py:99-101 style)
     assert np.max(np.abs(back - z0)) <= 0.002
+
+
+def test_sampled_path_adds_input_z(catalog):
+    """sample_distance must add the caller's z to the sampled cell sep
+    (reference points.py:86 z_sep[bins] + z), not discard it."""
+    from vyperdatum_ray.points import transform_points
+
+    x = np.array([-75.2, -75.2])
+    y = np.array([35.0, 35.0])
+    z = np.array([0.0, 5.0])
+    _, _, zs, _, r = transform_points(catalog, x, y, z, sample_distance=0.01)
+    assert (r >= 0).all()
+    # depth output: +5 m input height -> -5 m on the depth
+    assert abs((zs[1] - zs[0]) + 5.0) < 1e-9
+
+
+def test_sampled_path_negative_coordinates(catalog):
+    """Cell-key packing must survive negative cell indices (southern /
+    western hemisphere): outside-catalog points return -1, not garbage
+    centers."""
+    from vyperdatum_ray.points import transform_points
+
+    x = np.array([-75.2, 150.0, -75.25])
+    y = np.array([35.0, -35.0, 35.01])
+    _, _, zs, _, r = transform_points(catalog, x, y, sample_distance=0.05)
+    assert r[0] >= 0 and np.isfinite(zs[0])
+    assert r[1] == -1 and np.isnan(zs[1])
+    assert r[2] >= 0 and np.isfinite(zs[2])

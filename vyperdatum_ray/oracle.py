@@ -191,11 +191,26 @@ gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
 gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
 sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
 gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+redges AS (SELECT * FROM read_parquet('{fx}/region_edges.parquet')),
 cand AS (
+  -- exact convex-polygon-vs-rectangle intersection (separating-axis):
+  -- bbox overlap (the rectangle's axes) AND no polygon edge having all
+  -- four rectangle corners strictly outside its half-plane — matching
+  -- the engine's Polygon.intersects_bbox, not a bbox-only test
   SELECT rc.*, row_number() OVER (ORDER BY rc.region_ord) - 1 AS cand_pos
   FROM rcat rc CROSS JOIN rmeta m
   WHERE NOT (rc.max_x < m.origin_x OR rc.min_x > m.origin_x + m.ncols * m.dx
           OR rc.max_y < m.origin_y OR rc.min_y > m.origin_y + m.nrows * m.dy)
+    AND NOT EXISTS (
+      SELECT 1 FROM redges e
+      WHERE e.region = rc.region
+        AND least(
+          e.ax * m.origin_x + e.ay * m.origin_y,
+          e.ax * (m.origin_x + m.ncols * m.dx) + e.ay * m.origin_y,
+          e.ax * (m.origin_x + m.ncols * m.dx) + e.ay * (m.origin_y + m.nrows * m.dy),
+          e.ax * m.origin_x + e.ay * (m.origin_y + m.nrows * m.dy)
+        ) - e.b > 0
+    )
 ),
 rsamp AS (
   SELECT c.row, c.col, cd.region, cd.cand_pos, s.surface, s.sgn,

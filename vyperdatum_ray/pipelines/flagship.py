@@ -52,9 +52,17 @@ class JoinTransform:
     def __init__(self, catalog_ref, from_datum, to_datum, in_is_height, out_is_height):
         # Each actor is scheduled at num_cpus=1; pyarrow's internal pool
         # defaults to ALL cores, so N actors x N cores of kernel threads
-        # thrash the box. One compute thread per actor.
-        pa.set_cpu_count(1)
-        pa.set_io_thread_count(2)
+        # thrash the box. One compute thread per actor — but ONLY inside
+        # Ray workers: constructing this class on the driver (the
+        # sampled accelerator does, for its tiny center set) must not
+        # throttle the driver's Arrow pool for the rest of the session.
+        try:
+            in_worker = ray.get_runtime_context().worker.mode == ray.WORKER_MODE
+        except Exception:
+            in_worker = False
+        if in_worker:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
         self.join = RegionJoiner(catalog_ref=catalog_ref)
         self.transform = DatumTransformer(
             catalog_ref=catalog_ref, from_datum=from_datum, to_datum=to_datum,

@@ -307,7 +307,18 @@ def q_raster_transform(sf_dir: str) -> ray.data.Dataset:
 def q_raster_tile_manifest(sf_dir: str) -> ray.data.Dataset:
     """Per-tile output row counts (O5): partial counts inside the batch,
     tiny groupby-sum."""
-    ds = raster_transform(sf_dir, allow_outside=True)
+    # tile assignment is pure row/col arithmetic — no reason to run the
+    # two-pass transform just to count rows per tile
+    ensure_fixtures(sf_dir)
+    tile = raster_meta(sf_dir)["tile"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        row = batch.column("row").to_numpy().astype(np.int64)
+        col = batch.column("col").to_numpy().astype(np.int64)
+        return pa.table({"tile_id": pa.array((row // tile) * 4096 + col // tile,
+                                             pa.int64())})
+
+    ds = raster_cells(sf_dir, ["row", "col"]).map_batches(assign, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
         # every written cell counts, incl. elevation-nodata cells (the

@@ -205,6 +205,51 @@ class MinHasher:
         return vals.min(axis=1)
 
 
+
+def _pairs_grouped(df: pd.DataFrame, value_col: str) -> pd.DataFrame:
+    """Candidate pairs from one salted LSH group: vectorized
+    equal-value run detection, mega-bucket guard (> 64 ids), sorted
+    (id_a < id_b) pair emission. Shared by the MinHash and SimHash
+    banding variants."""
+    bv = df[value_col].to_numpy().astype(np.uint64)
+    ids = df["id"].to_numpy()
+    order = np.argsort(bv, kind="stable")
+    bv, ids = bv[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
+    ends = np.r_[starts[1:], len(bv)]
+    a_parts, b_parts = [], []
+    for st, en in zip(starts, ends):
+        m = en - st
+        if m < 2 or m > 64:  # degenerate / mega-bucket guard
+            continue
+        seg = np.sort(ids[st:en])
+        ia, ib = np.triu_indices(m, k=1)
+        a_parts.append(seg[ia])
+        b_parts.append(seg[ib])
+    if not a_parts:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"id_a": np.concatenate(a_parts),
+                         "id_b": np.concatenate(b_parts)})
+
+
+def _dedup_pair_ds(cand: ray.data.Dataset) -> ray.data.Dataset:
+    """Global (id_a, id_b) pair dedup at bounded salt granularity (64
+    groups)."""
+
+    def add_pair_salt(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy().astype(np.uint64)
+        b = batch.column("id_b").to_numpy().astype(np.uint64)
+        salt = (a * np.uint64(2654435761) ^ b) & np.uint64(63)
+        return batch.append_column("pair_salt", pa.array(salt, pa.uint64()))
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cand = cand.map_batches(add_pair_salt, batch_format="pyarrow")
+    return cand.groupby("pair_salt").map_groups(dedup_pairs, batch_format="pandas")
+
+
 class MinHashStage:
     def __init__(self, num_perm=64, bands=16, id_col="doc_id", text_col="text"):
         self.mh = MinHasher(num_perm=num_perm)
@@ -280,46 +325,12 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
             "bh_salt", pa.array(bh >> np.uint64(64 - PREFIX_BITS), pa.uint64())
         )
 
-    def pairs_grouped(df: pd.DataFrame) -> pd.DataFrame:
-        bh = df["band_hash"].to_numpy().astype(np.uint64)
-        ids = df["id"].to_numpy()
-        order = np.argsort(bh, kind="stable")
-        bh, ids = bh[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
-        ends = np.r_[starts[1:], len(bh)]
-        a_parts, b_parts = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2 or m > 64:  # degenerate / mega-bucket guard
-                continue
-            seg = np.sort(ids[s:e])
-            ia, ib = np.triu_indices(m, k=1)
-            a_parts.append(seg[ia])
-            b_parts.append(seg[ib])
-        if not a_parts:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"id_a": np.concatenate(a_parts),
-                             "id_b": np.concatenate(b_parts)})
-
     cand = (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby(["band_id", "bh_salt"])
-        .map_groups(pairs_grouped, batch_format="pandas")
+        .map_groups(lambda df: _pairs_grouped(df, "band_hash"), batch_format="pandas")
     )
-
-    # global pair dedup, again at salt granularity (64 bounded groups)
-    def add_pair_salt(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy().astype(np.uint64)
-        b = batch.column("id_b").to_numpy().astype(np.uint64)
-        salt = (a * np.uint64(2654435761) ^ b) & np.uint64(63)
-        return batch.append_column("pair_salt", pa.array(salt, pa.uint64()))
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
-
-    cand = cand.map_batches(add_pair_salt, batch_format="pyarrow")
-    return cand.groupby("pair_salt").map_groups(dedup_pairs, batch_format="pandas")
+    return _dedup_pair_ds(cand)
 
 
 class SimHashStage:
@@ -477,43 +488,10 @@ def q_simhash_neardup(sf_dir: str, bits_per_band: int = 16) -> ray.data.Dataset:
 
     ds = q_simhash(sf_dir).map_batches(explode, batch_format="pyarrow")
 
-    def pairs_grouped(df: pd.DataFrame) -> pd.DataFrame:
-        bv = df["band_val"].to_numpy().astype(np.uint64)
-        ids = df["id"].to_numpy()
-        order = np.argsort(bv, kind="stable")
-        bv, ids = bv[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
-        ends = np.r_[starts[1:], len(bv)]
-        a_parts, b_parts = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2 or m > 64:
-                continue
-            seg = np.sort(ids[s:e])
-            ia, ib = np.triu_indices(m, k=1)
-            a_parts.append(seg[ia])
-            b_parts.append(seg[ib])
-        if not a_parts:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"id_a": np.concatenate(a_parts),
-                             "id_b": np.concatenate(b_parts)})
-
     cand = ds.groupby(["band_id", "band_val"]).map_groups(
-        pairs_grouped, batch_format="pandas"
+        lambda df: _pairs_grouped(df, "band_val"), batch_format="pandas"
     )
-
-    def add_pair_salt(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy().astype(np.uint64)
-        b = batch.column("id_b").to_numpy().astype(np.uint64)
-        salt = (a * np.uint64(2654435761) ^ b) & np.uint64(63)
-        return batch.append_column("pair_salt", pa.array(salt, pa.uint64()))
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
-
-    cand = cand.map_batches(add_pair_salt, batch_format="pyarrow")
-    return cand.groupby("pair_salt").map_groups(dedup_pairs, batch_format="pandas")
+    return _dedup_pair_ds(cand)
 
 
 def _host_of(url_col) -> pa.Array:

@@ -48,18 +48,26 @@ def transform_points(
     if valid.any():
         vx, vy, vz = x[valid], y[valid], zin[valid]
         if sample_distance:
-            # O2: transform distinct coarse-cell centers, assign per point
-            cx = np.floor(vx / sample_distance).astype(np.int64)
-            cy = np.floor(vy / sample_distance).astype(np.int64)
+            # O2: transform distinct coarse-cell centers (z = 0), then
+            # per point: cell separation + the point's own z, exactly
+            # the reference's sample_array binning which adds input z to
+            # the sampled sep (points.py:86). Bias offsets keep the key
+            # packing valid for negative cell indices (southern/western
+            # hemispheres).
+            cx = np.floor(vx / sample_distance).astype(np.int64) + (1 << 20)
+            cy = np.floor(vy / sample_distance).astype(np.int64) + (1 << 20)
             key = cx * (1 << 21) + cy
             ukey, inv = np.unique(key, return_inverse=True)
-            ux = (ukey // (1 << 21) + 0.5) * sample_distance
-            uy = (ukey % (1 << 21) + 0.5) * sample_distance
+            ux = (ukey // (1 << 21) - (1 << 20) + 0.5) * sample_distance
+            uy = (ukey % (1 << 21) - (1 << 20) + 0.5) * sample_distance
             uz, uunc, uregion = _transform_arrays(
                 catalog, ux, uy, np.zeros(len(ux)), from_datum, to_datum,
                 in_is_height, out_is_height,
             )
-            ans_z[valid] = uz[inv]
+            flip = 1.0 if out_is_height else -1.0
+            vz_height = vz if in_is_height else -vz
+            # uncovered cells carry uz = NaN, which propagates through
+            ans_z[valid] = np.round(flip * vz_height + uz[inv], 3)
             ans_unc[valid] = uunc[inv]
             ans_region[valid] = uregion[inv]
         else:

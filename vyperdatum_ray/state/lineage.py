@@ -143,6 +143,25 @@ def run_flagship_checkpointed(
             pending_files += [
                 os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
             ]
+    if not pending_files:
+        # every pending shard produced zero output rows (e.g. no
+        # geocodable pages) — still commit their (empty) lineage records
+        # so the resume converges instead of crashing forever
+        import pyarrow.parquet as pq
+
+        rows_in = 0
+        for p in pending:
+            n_in = pq.ParquetFile(p).metadata.num_rows
+            _commit_record(out_dir, {
+                "schema_version": SCHEMA_VERSION, "shard": _shard_of(p),
+                "input_file": p, "row_range": [0, n_in], "n_rows_in": n_in,
+                "n_rows_out": 0, "cell_set": [], "transform_version": version,
+            })
+            rows_in += n_in
+        metrics.update(rows_in=rows_in, rows_out=0,
+                       elapsed_s=round(time.perf_counter() - t0, 3))
+        _write_metrics(out_dir, metrics)
+        return metrics
     out = ray.data.read_parquet(pending_files, columns=["tile_id"], include_paths=True)
 
     def partial(batch: pa.Table) -> pa.Table:
