@@ -31,3 +31,27 @@ from vyperdatum_ray.core.pipeline_algebra import (  # noqa: F401
     inverse_datum_def,
     parse_pipeline,
 )
+
+
+def __getattr__(name):  # lazy: avoid importing Ray at package import
+    if name == "Catalog":
+        from vyperdatum_ray.catalog import Catalog
+
+        return Catalog
+    if name == "transform_points":
+        from vyperdatum_ray.points import transform_points
+
+        return transform_points
+    if name == "flagship_pipeline":
+        from vyperdatum_ray.pipelines.flagship import flagship_pipeline
+
+        return flagship_pipeline
+    if name == "transform_raster":
+        from vyperdatum_ray.pipelines.raster import raster_transform
+
+        return raster_transform
+    if name == "vertical_datum_to_wkt":
+        from vyperdatum_ray.core.wkt import vertical_datum_to_wkt
+
+        return vertical_datum_to_wkt
+    raise AttributeError(name)
