@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "region_counts",
     "transform_summary",
     "sampled_transform",
+    "datum_transform_itrf",
+    "transform_projected",
     "raster_transform",
     "tpch_q1",
     "tpch_q3",
@@ -48,6 +50,8 @@ BENCH_QUERIES = [
     "simhash",
     "langid",
     "ann_topk",
+    "neardup_embedding",
+    "neardup_embedding_lsh",
     "html_stats",
     "html_extract",
 ]

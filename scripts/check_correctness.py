@@ -53,6 +53,17 @@ def compare(name: str, mine: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # the driver hashes VALUES AND DTYPES: int64 1 vs float64 1.0
+            # hash-mismatch even though `==` calls them equal — reproduce
+            # that here by failing on differing dtype kinds (int vs float
+            # vs datetime vs object), the gap that let the sessionize
+            # family pass locally while failing the driver in round 1
+            ka, kb = av.dtype.kind, bv.dtype.kind
+            if {ka, kb} <= {"i", "u"}:
+                ka = kb = "i"
+            if ka != kb:
+                problems.append(f"col {c}: dtype kind {av.dtype} != {bv.dtype}")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             else:

@@ -74,7 +74,7 @@ def test_register_external_region_upsert():
     verts = hexagon(-73.0, 36.5, 0.3)
     info = RegionInfo(
         name="USER_custom_1", ord=0, geoid_name="sgeoid12x",
-        geoid_frame="NAD83(2011)", frame_dlon=0.0, frame_dlat=0.0,
+        geoid_frame="NAD83(2011)",
         polygon=polygon_from_wkb(polygon_to_wkb(verts)),
     )
     grid = cat.grids["SYNcoastA_8301/tss"]

@@ -70,10 +70,11 @@ def test_text_byte_identical_passthrough(out):
 
 
 def test_itrf_region_frame_hop_changes_answer(out):
-    """Region D (ITRF frame) points: the frame hop (slon/slat offset)
-    must be applied — recompute one point both ways and check the
-    engine used the shifted sample."""
+    """Region D (ITRF frame) points: the real 3-D Helmert hop must be
+    applied — recompute one point by hand (hop lon/lat AND the frame
+    dz seeding z) and check the engine's answer."""
     from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.core.helmert import frame_hop
     from vyperdatum_ray.core.pipeline_algebra import get_regional_pipeline, parse_pipeline
     from vyperdatum_ray.fixtures import ensure_fixtures
 
@@ -85,16 +86,17 @@ def test_itrf_region_frame_hop_changes_answer(out):
     r = cat.regions[3]
     assert r.geoid_frame == "ITRF2014"
     dt = DatumTransformer(catalog_ref=cat)
-    # the ITRF region carries its frame hop; NAD83 regions carry none
-    assert dt.region_dlonlat[3] == (r.frame_dlon, r.frame_dlat) != (0.0, 0.0)
-    assert dt.region_dlonlat[0] == (0.0, 0.0)
+    assert dt.region_frames[3] == "ITRF2014"
+    assert dt.region_frames[0] == "NAD83(2011)"
     # recompute one D point WITH the hop: must reproduce the engine's z
     steps = parse_pipeline(get_regional_pipeline("ellipse", "mllw", r.name, r.geoid_name))
     row = d_rows.iloc[0]
-    z = 0.0
+    hlon, hlat, hz = frame_hop(np.array([row["lon"]]), np.array([row["lat"]]),
+                               np.zeros(1), "ITRF2014")
+    # the hop is a real ~1-2 m 3-D shift, not a constant nudge
+    assert 1e-6 < abs(hlon[0] - row["lon"]) < 1e-4
+    assert abs(hz[0]) > 0.1
+    z = hz[0]
     for s in steps:
-        z = z + s.sign * cat.grids[s.grid_key].interpolate(
-            np.array([row["lon"] + r.frame_dlon]),
-            np.array([row["lat"] + r.frame_dlat]),
-        )[0]
+        z = z + s.sign * cat.grids[s.grid_key].interpolate(hlon, hlat)[0]
     assert np.round(-z, 3) == row["z_out"]

@@ -15,22 +15,26 @@ PX = np.array([-75.20, -74.35, -74.90, -73.30, -74.72, -76.8])
 PY = np.array([35.00, 35.65, 36.60, 34.30, 35.35, 33.2])
 
 GOLDEN = {
-    # to_datum -> (z, unc, region_index); NaN = outside all coverage
+    # to_datum -> (z, unc, region_index); NaN = outside all coverage.
+    # Region D (index 3) runs the real NAD83->ITRF2014 Helmert hop: its
+    # z includes the ~1.45 m frame separation (fixture v5).
     "mllw": (
-        [-32.761, -32.657, -33.164, -32.693, -32.231, np.nan],
+        [-32.761, -32.657, -33.164, -31.244, -32.231, np.nan],
         [0.058, 0.060, 0.059, 0.067, 0.058, np.nan],
         [0, 1, 2, 3, 0, -1],
     ),
     "mhw": (
-        [-32.835, -32.553, -33.152, -32.664, -32.286, np.nan],
+        [-32.835, -32.553, -33.152, -31.215, -32.286, np.nan],
         [0.044, 0.054, 0.037, 0.068, 0.044, np.nan],
         [0, 1, 2, 3, 0, -1],
     ),
 }
 
-# mllw -> ellipse inverse of z=0 (the mllw surface's ellipsoid height
-# equals the forward depth by the symmetry of the composed grids)
-GOLDEN_INV_Z = [-32.761, -32.657, -33.164, -32.693, -32.231, np.nan]
+# mllw -> ellipse inverse of z=0: NAD83 regions mirror the forward
+# depth by grid symmetry; region D does NOT (the frame dz seeds z with
+# the same sign in both directions, as in the reference's hop-first
+# flow, core.py:426-429)
+GOLDEN_INV_Z = [-32.761, -32.657, -33.164, -34.142, -32.231, np.nan]
 
 RASTER_GOLDEN = {
     (5, 5): (-12.558, 0.166, 0),

@@ -79,3 +79,20 @@ def test_pipeline_validation_against_catalog():
     assert is_valid_regional_pipeline(p, {"g2012", "R1/tss", "R1/mllw"})
     assert not is_valid_regional_pipeline(p, {"g2012", "R1/tss"})
     assert is_valid_regional_pipeline(None, set())
+
+
+def test_grid_extension_fallback():
+    """Reference vypercrs.py:1044-1092: a pipeline referencing a grid
+    that only exists as its .tif conversion is rewritten, not
+    invalidated; a truly missing grid still invalidates."""
+    from vyperdatum_ray.core.pipeline_algebra import (
+        get_regional_pipeline, is_valid_regional_pipeline, resolve_grid_key,
+        resolve_pipeline)
+
+    p = get_regional_pipeline("ellipse", "mllw", "R1", "geoidx")
+    grids_tif = {"geoidx", "R1/tss.tif", "R1/mllw"}
+    assert resolve_grid_key("R1/tss", grids_tif) == "R1/tss.tif"
+    rewritten, ok = resolve_pipeline(p, grids_tif)
+    assert ok and "grids=R1/tss.tif" in rewritten and "grids=R1/mllw" in rewritten
+    assert is_valid_regional_pipeline(p, grids_tif)
+    assert not is_valid_regional_pipeline(p, {"geoidx", "R1/mllw"})

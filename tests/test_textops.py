@@ -126,3 +126,35 @@ def test_hll_estimate_close_to_exact(ray_session):
     assert exact > 0
     # p=12 registers: ~1.6% sigma; 10% is a very safe determinstic bound
     assert abs(approx - exact) <= max(2, int(0.1 * exact))
+
+
+def test_neardup_embedding_block_pairs_exact(ray_session):
+    """The block-pair self-join must reproduce the exact all-pairs set
+    (computed locally) with NO full-matrix broadcast anywhere."""
+    from vyperdatum_ray.pipelines.ann import q_neardup_embedding
+
+    out = q_neardup_embedding(SF, tau=0.4).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    sims = m @ m.T
+    ai, bi = np.nonzero(sims >= 0.4)
+    expect = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+              for i, j in zip(ai, bi) if ids[i] != ids[j]}
+    got = set(zip(out["vec_id_a"].astype(int), out["vec_id_b"].astype(int)))
+    assert got == expect
+
+
+def test_neardup_embedding_lsh_recall(ray_session):
+    """The sub-quadratic LSH variant must recover most exact pairs
+    (4-bit x 16-band hyperplane banding at tau=0.4 -> ~0.9 recall)."""
+    from vyperdatum_ray.pipelines.ann import (q_neardup_embedding,
+                                              q_neardup_embedding_lsh)
+
+    exact = q_neardup_embedding(SF, tau=0.4).to_pandas()
+    lsh = q_neardup_embedding_lsh(SF, tau=0.4).to_pandas()
+    e = set(zip(exact["vec_id_a"].astype(int), exact["vec_id_b"].astype(int)))
+    l = set(zip(lsh["vec_id_a"].astype(int), lsh["vec_id_b"].astype(int)))
+    assert l <= e  # candidates are exact-scored -> no false positives
+    assert len(l & e) / max(len(e), 1) >= 0.7

@@ -13,7 +13,8 @@ Catalog tables (see ``vyperdatum_ray/fixtures.py`` for the deterministic
 synthetic instance):
 
 * ``region_catalog.parquet`` — region, region_ord, geoid_name,
-  geoid_frame, frame_dlon, frame_dlat, polygon_wkb, bbox
+  geoid_frame, polygon_wkb, bbox (the NAD83<->ITRF hop for non-NAD83
+  geoid frames is the real 14-param Helmert in ``core/helmert.py``)
 * ``region_edges.parquet``   — convex half-plane edge coefficients
   (SQL-oracle support; the engine itself uses generic ray-cast PIP)
 * ``grid_meta.parquet`` / ``grid_values.parquet`` — long-form separation
@@ -41,9 +42,7 @@ class RegionInfo:
     name: str
     ord: int
     geoid_name: str
-    geoid_frame: str
-    frame_dlon: float  # constant-offset stand-in for the NAD83<->ITRF hop
-    frame_dlat: float
+    geoid_frame: str  # hop target frame; see core.helmert.FRAME_PARAMS
     polygon: Polygon
 
 
@@ -86,8 +85,6 @@ class Catalog:
                     ord=int(row["region_ord"]),
                     geoid_name=row["geoid_name"],
                     geoid_frame=row["geoid_frame"],
-                    frame_dlon=float(row["frame_dlon"]),
-                    frame_dlat=float(row["frame_dlat"]),
                     polygon=polygon_from_wkb(row["polygon_wkb"]),
                 )
             )

@@ -1,0 +1,76 @@
+"""Input-CRS parsing and splitting — the user-facing slice of the
+reference's VyperCRS handling (``reference/vyperdatum/vypercrs.py:685-812``,
+``core.py:198-248``): accept an EPSG code / "EPSG:nnnn" string /
+(horizontal, vertical) tuple, split it into a horizontal part the
+engine can handle (geographic NAD83 or a UTM zone it inverse-projects
+with core/projection.py) and a vertical datum name, and REJECT anything
+else loudly instead of silently assuming geographic NAD83 (round 1's
+behavior)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# geographic NAD83(2011) family: 2-D, 3-D, and the legacy NAD83 codes
+_GEOGRAPHIC_NAD83 = {6318, 6319, 4269, 4959}
+
+# NAD83(2011) UTM north zones (EPSG:6330+zone = zone 1N ... 6339 = 10N,
+# 26901-26923 are the NAD83 originals); both map to zone numbers
+_UTM_NAD83_2011 = {6329 + z: z for z in range(1, 24)}
+_UTM_NAD83 = {26900 + z: z for z in range(1, 24)}
+
+_VERTICAL_NAMES = {
+    "ellipse", "geoid", "navd88", "tss", "mllw", "mhw", "mtl", "dtl",
+    "noaa chart datum", "noaa chart height", "lwrp2007", "hrd",
+}
+
+
+@dataclass(frozen=True)
+class CRSInfo:
+    kind: str  # 'geographic' | 'utm'
+    zone: int | None  # UTM zone when kind == 'utm'
+    vertical: str  # vertical datum name ('ellipse' when unspecified)
+
+
+def _parse_horizontal(code: int) -> CRSInfo:
+    if code in _GEOGRAPHIC_NAD83:
+        return CRSInfo(kind="geographic", zone=None, vertical="ellipse")
+    zone = _UTM_NAD83_2011.get(code) or _UTM_NAD83.get(code)
+    if zone:
+        return CRSInfo(kind="utm", zone=zone, vertical="ellipse")
+    raise ValueError(
+        f"unsupported horizontal CRS EPSG:{code} — this engine accepts "
+        f"geographic NAD83 ({sorted(_GEOGRAPHIC_NAD83)}) and NAD83 UTM "
+        f"north zones (EPSG:6330+zone / 26900+zone); state-plane and "
+        f"non-NAD83 frames are not implemented"
+    )
+
+
+def parse_crs(spec) -> CRSInfo:
+    """Parse an input-CRS spec into (horizontal kind, zone, vertical).
+
+    Accepts: int EPSG code, 'EPSG:nnnn', a bare vertical datum name
+    ('mllw', 'navd88', ...; horizontal defaults to geographic NAD83 as
+    in the reference's string pathway), or a (horizontal, vertical)
+    tuple. Anything else raises ValueError."""
+    if isinstance(spec, tuple):
+        if len(spec) != 2:
+            raise ValueError(f"CRS tuple must be (horizontal, vertical): {spec!r}")
+        h = parse_crs(spec[0])
+        v = spec[1]
+        if not isinstance(v, str) or v.lower() not in _VERTICAL_NAMES:
+            raise ValueError(f"unknown vertical datum {v!r}")
+        return CRSInfo(kind=h.kind, zone=h.zone, vertical=v.lower())
+    if isinstance(spec, int):
+        return _parse_horizontal(spec)
+    if isinstance(spec, str):
+        s = spec.strip()
+        if s.upper().startswith("EPSG:"):
+            return _parse_horizontal(int(s[5:]))
+        if s.lower() in _VERTICAL_NAMES:
+            return CRSInfo(kind="geographic", zone=None, vertical=s.lower())
+        raise ValueError(
+            f"unsupported CRS spec {spec!r} (want an EPSG code, 'EPSG:nnnn', "
+            f"a vertical datum name, or a (horizontal, vertical) tuple)"
+        )
+    raise ValueError(f"unsupported CRS spec type {type(spec).__name__}")

@@ -189,8 +189,38 @@ def parse_pipeline(pipeline: str | None) -> list[GridStep]:
     return steps
 
 
+def resolve_grid_key(grid_key: str, available_grids) -> str | None:
+    """Resolve a pipeline's grid key against the catalog, with the
+    reference's extension-rewrite fallback (vypercrs.py:1044-1092: a
+    ``.gtx`` pipeline reference is rewritten to the ``.tif`` conversion
+    when that is what exists on disk). Here: the bare catalog key
+    first, then the ``<key>.tif`` converted-grid variant. None when
+    neither exists (-> region skipped, core.py:430-433)."""
+    if grid_key in available_grids:
+        return grid_key
+    alt = grid_key + ".tif"
+    if alt in available_grids:
+        return alt
+    return None
+
+
+def resolve_pipeline(pipeline: str | None, available_grids) -> tuple[str | None, bool]:
+    """Rewrite a pipeline's grid references to the keys that actually
+    exist (extension fallback); returns (rewritten_pipeline, valid)."""
+    if not pipeline:
+        return pipeline, True
+    out = pipeline
+    for s in parse_pipeline(pipeline):
+        r = resolve_grid_key(s.grid_key, available_grids)
+        if r is None:
+            return pipeline, False
+        if r != s.grid_key:
+            out = out.replace(f"grids={s.grid_key}", f"grids={r}")
+    return out, True
+
+
 def is_valid_regional_pipeline(pipeline: str | None, available_grids) -> bool:
-    """True when every grid a pipeline references exists in the catalog
-    (reference vypercrs.py:1044-1092, minus file-extension rewriting —
-    our grids are catalog keys, not files)."""
-    return all(s.grid_key in available_grids for s in parse_pipeline(pipeline))
+    """True when every grid a pipeline references exists in the catalog,
+    directly or via the ``.tif`` extension fallback (reference
+    vypercrs.py:1044-1092)."""
+    return resolve_pipeline(pipeline, available_grids)[1]

@@ -30,20 +30,21 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 4  # bump to invalidate caches
+FIXTURE_VERSION = 5  # bump to invalidate caches
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
 SURFACES = ("tss", "mllw", "mhw", "mtl", "dtl")
 SIGMA_COLS = ("tss", "mhhw", "mhw", "mlw", "mllw", "dtl", "mtl")
 
-# region: (center_lon, center_lat, radius_deg, geoid_name, geoid_frame,
-#          frame_dlon, frame_dlat)
+# region: (center_lon, center_lat, radius_deg, geoid_name, geoid_frame)
+# — the ITRF2014-framed geoid region exercises the real NAD83->ITRF
+# Helmert hop (core/helmert.py), as the reference's AK xgeoid17b does
 REGION_SPECS = [
-    ("SYNcoastA_8301", -75.20, 35.00, 0.85, "sgeoid12x", "NAD83(2011)", 0.0, 0.0),
-    ("SYNcoastB_8301", -74.35, 35.65, 0.75, "sgeoid12x", "NAD83(2011)", 0.0, 0.0),
-    ("SYNinnerC_8301", -74.90, 36.60, 0.55, "sgeoid12x", "NAD83(2011)", 0.0, 0.0),
-    ("SYNdeepD_8301", -73.30, 34.30, 0.65, "sxgeoid17b", "ITRF2014", 2.1e-06, -1.4e-06),
+    ("SYNcoastA_8301", -75.20, 35.00, 0.85, "sgeoid12x", "NAD83(2011)"),
+    ("SYNcoastB_8301", -74.35, 35.65, 0.75, "sgeoid12x", "NAD83(2011)"),
+    ("SYNinnerC_8301", -74.90, 36.60, 0.55, "sgeoid12x", "NAD83(2011)"),
+    ("SYNdeepD_8301", -73.30, 34.30, 0.65, "sxgeoid17b", "ITRF2014"),
 ]
 
 # NaN notch in SYNcoastB_8301/tss (inside the A∩B overlap): nodes within
@@ -189,11 +190,10 @@ def _write_catalog(out_dir: str) -> None:
         val_iy.append(iy.astype(np.int32))
         val_v.append(vals[iy, ix])
 
-    for ordinal, (name, cx, cy, r, geoid, frame, dlon, dlat) in enumerate(REGION_SPECS):
+    for ordinal, (name, cx, cy, r, geoid, frame) in enumerate(REGION_SPECS):
         verts = hexagon(cx, cy, r)
         cat_rows.append(
             dict(region=name, region_ord=ordinal, geoid_name=geoid, geoid_frame=frame,
-                 frame_dlon=dlon, frame_dlat=dlat,
                  min_x=verts[:, 0].min(), min_y=verts[:, 1].min(),
                  max_x=verts[:, 0].max(), max_y=verts[:, 1].max(),
                  polygon_wkb=polygon_to_wkb(verts))

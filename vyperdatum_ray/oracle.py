@@ -19,6 +19,7 @@ The fixture dir must exist before the SQL runs; ``oracle_sql()`` in
 from __future__ import annotations
 
 from vyperdatum_ray.core.geocode import TEXT_PATTERN, URL_PATH_PATTERN, URL_QUERY_PATTERN
+from vyperdatum_ray.core.helmert import sql_hop_ctes
 
 
 def _r3(e: str) -> str:
@@ -90,17 +91,17 @@ def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
     common geoid prefix cancels, pipeline.py:116-142) — plus composed
     uncertainty and grid-coverage validity."""
     if from_navd88:
-        z_expr = f"-((0.0 + z.g_tss) - z.g_{target})"
+        z_expr = f"-((z.sz + z.g_tss) - z.g_{target})"
         unc_expr = f"s.tss + s.{target}"  # no geoid sigma: input not ellipse
         surfaces = f"('tss', 1.0), ('{target}', -1.0)"
         geoid_sel = "CAST(NULL AS DOUBLE) AS g_geoid,"
     elif inverse:
-        z_expr = f"(((0.0 + z.g_{target}) - z.g_tss) + z.g_geoid)"
+        z_expr = f"(((z.sz + z.g_{target}) - z.g_tss) + z.g_geoid)"
         unc_expr = "0.0"  # out 'ellipse' -> no transform uncertainty (core.py:334-335)
         surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
         geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
     else:
-        z_expr = f"-(((0.0 - z.g_geoid) + z.g_tss) - z.g_{target})"
+        z_expr = f"-(((z.sz - z.g_geoid) + z.g_tss) - z.g_{target})"
         unc_expr = f"gs.sigma + s.tss + s.{target}"
         surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
         geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
@@ -110,13 +111,18 @@ gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
 gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
 sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
 gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
-tr AS (
-  SELECT m.url, m.region, m.region_ord, g.lat, g.lon,
-         g.lon + rc.frame_dlon AS slon, g.lat + rc.frame_dlat AS slat,
-         rc.geoid_name
+tr0 AS (
+  SELECT m.url, m.region, m.region_ord, g.lat, g.lon, rc.geoid_name, rc.geoid_frame
   FROM memb m
   JOIN rcat rc ON rc.region = m.region
   JOIN geo g ON g.url = m.url
+),
+{sql_hop_ctes("t", "tr0", "lon", "lat", "0.0", "geoid_frame",
+              "url, region, region_ord, lat, lon, geoid_name")},
+tr AS (
+  SELECT url, region, region_ord, lat, lon, geoid_name,
+         hlon AS slon, hlat AS slat, hz AS sz
+  FROM thop
 ),
 samp AS (
   SELECT t.*, s.surface, s.sgn,
@@ -127,7 +133,7 @@ samp AS (
 ),
 sampq AS (
   SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
-    samp.grid_key, gm.nx, gm.ny,
+    samp.grid_key, samp.sz, gm.nx, gm.ny,
     (samp.slon - gm.origin_x) / gm.dx AS gx,
     (samp.slat - gm.origin_y) / gm.dy AS gy,
     CAST(LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
@@ -139,7 +145,7 @@ sampq AS (
   FROM samp JOIN gmeta gm ON gm.grid_key = samp.grid_key
 ),
 interp AS (
-  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn,
+  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn, q.sz,
     (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
       + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
     (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
@@ -151,7 +157,7 @@ interp AS (
   LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
 ),
 zr AS (
-  SELECT url, region, region_ord,
+  SELECT url, region, region_ord, max(sz) AS sz,
     {geoid_sel}
     max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
     max(CASE WHEN surface = '{target}' THEN val END) AS g_{target},
@@ -212,16 +218,22 @@ cand AS (
         ) - e.b > 0
     )
 ),
-rsamp AS (
-  SELECT c.row, c.col, cd.region, cd.cand_pos, s.surface, s.sgn,
-    CASE WHEN s.surface = 'geoid' THEN cd.geoid_name
-         ELSE cd.region || '/' || s.surface END AS grid_key,
-    c.lon + cd.frame_dlon AS slon, c.lat + cd.frame_dlat AS slat
+rs0 AS (
+  SELECT c.row, c.col, c.lon, c.lat, cd.region, cd.cand_pos, cd.geoid_name, cd.geoid_frame
   FROM cells c CROSS JOIN cand cd
+),
+{sql_hop_ctes("r", "rs0", "lon", "lat", "0.0", "geoid_frame",
+              "row, col, region, cand_pos, geoid_name")},
+rsamp AS (
+  SELECT h.row, h.col, h.region, h.cand_pos, s.surface, s.sgn,
+    CASE WHEN s.surface = 'geoid' THEN h.geoid_name
+         ELSE h.region || '/' || s.surface END AS grid_key,
+    h.hlon AS slon, h.hlat AS slat, h.hz AS sz
+  FROM rhop h
   CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
 ),
 rsampq AS (
-  SELECT r.row, r.col, r.region, r.cand_pos, r.surface, r.grid_key, gm.nx, gm.ny,
+  SELECT r.row, r.col, r.region, r.cand_pos, r.surface, r.grid_key, r.sz, gm.nx, gm.ny,
     (r.slon - gm.origin_x) / gm.dx AS gx,
     (r.slat - gm.origin_y) / gm.dy AS gy,
     CAST(LEAST(GREATEST(floor((r.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
@@ -233,7 +245,7 @@ rsampq AS (
   FROM rsamp r JOIN gmeta gm ON gm.grid_key = r.grid_key
 ),
 rinterp AS (
-  SELECT q.row, q.col, q.region, q.cand_pos, q.surface,
+  SELECT q.row, q.col, q.region, q.cand_pos, q.surface, q.sz,
     (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
       + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
     (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
@@ -246,7 +258,7 @@ rinterp AS (
 ),
 rsep AS (
   SELECT row, col, region, cand_pos,
-    ((0.0 - max(CASE WHEN surface = 'geoid' THEN val END))
+    ((max(sz) - max(CASE WHEN surface = 'geoid' THEN val END))
       + max(CASE WHEN surface = 'tss' THEN val END))
       - max(CASE WHEN surface = 'mllw' THEN val END) AS sep,
     bool_and(ok) AS ok_all
@@ -407,6 +419,117 @@ SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, 
 FROM zwin w WHERE w.rn = 1"""
 
 
+def q_transform_projected(fx: str) -> str:
+    """Mirror of queries.q_transform_projected: UTM zone-18 forward +
+    inverse roundtrip (bit-identical Krüger kernels; the recovered
+    coords equal the 5-decimal originals because the series error is
+    orders below the 1e-7 output quantization), then the standard
+    membership + transform on the recovered coordinates."""
+    from vyperdatum_ray.core.projection import sql_utm_roundtrip_ctes
+
+    return f"""WITH {_geo_cte(fx)},
+{sql_utm_roundtrip_ctes("u", "geo", "lon", "lat", 18, "url")},
+{_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT g.url, u.easting, u.northing, u.rlon AS lon, u.rlat AS lat,
+  w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w
+JOIN geo g ON g.url = w.url
+JOIN uutm u ON u.url = g.url
+WHERE w.rn = 1"""
+
+
+def q_datum_transform_itrf(fx: str) -> str:
+    """Mirror of queries.q_datum_transform_itrf: synthesized z, geoid
+    frame hop feeding the grid pipeline, and the out-frame (ITRF2014)
+    hop supplying both the output xy and the diffz of the reference's
+    ``new_z - (z - diffz)`` correction for NAD83-framed regions."""
+    zexpr_pre = "(((z.sz - z.g_geoid) + z.g_tss) - z.g_mllw)"
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)},
+rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
+gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
+gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
+sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
+gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+geoz AS (
+  SELECT url, lat, lon, {_r3("(lat - 35.0) * 2.0 + (lon + 75.0)")} AS z_in
+  FROM geo
+),
+oo0 AS (SELECT url, lat, lon, z_in, 'ITRF2014' AS out_frame FROM geoz),
+{sql_hop_ctes("o", "oo0", "lon", "lat", "z_in", "out_frame", "url")},
+tr0 AS (
+  SELECT m.url, m.region, m.region_ord, g.lat, g.lon, g.z_in,
+         rc.geoid_name, rc.geoid_frame
+  FROM memb m
+  JOIN rcat rc ON rc.region = m.region
+  JOIN geoz g ON g.url = m.url
+),
+{sql_hop_ctes("t", "tr0", "lon", "lat", "z_in", "geoid_frame",
+              "url, region, region_ord, lat, lon, z_in, geoid_name")},
+tr AS (
+  SELECT url, region, region_ord, lat, lon, z_in, geoid_name,
+         hlon AS slon, hlat AS slat, hz AS sz
+  FROM thop
+),
+samp AS (
+  SELECT t.*, s.surface, s.sgn,
+    CASE WHEN s.surface = 'geoid' THEN t.geoid_name
+         ELSE t.region || '/' || s.surface END AS grid_key
+  FROM tr t
+  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
+),
+sampq AS (
+  SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
+    samp.grid_key, samp.sz, samp.z_in, gm.nx, gm.ny,
+    (samp.slon - gm.origin_x) / gm.dx AS gx,
+    (samp.slat - gm.origin_y) / gm.dy AS gy,
+    CAST(LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
+    CAST(LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0,
+    (samp.slon - gm.origin_x) / gm.dx
+      - LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS fx,
+    (samp.slat - gm.origin_y) / gm.dy
+      - LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS fy
+  FROM samp JOIN gmeta gm ON gm.grid_key = samp.grid_key
+),
+interp AS (
+  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn, q.sz, q.z_in,
+    (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
+      + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
+    (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
+     AND q.gx >= 0 AND q.gx <= q.nx - 1 AND q.gy >= 0 AND q.gy <= q.ny - 1) AS ok
+  FROM sampq q
+  LEFT JOIN gvals a ON a.grid_key = q.grid_key AND a.ix = q.ix0 AND a.iy = q.iy0
+  LEFT JOIN gvals b ON b.grid_key = q.grid_key AND b.ix = q.ix0 + 1 AND b.iy = q.iy0
+  LEFT JOIN gvals c ON c.grid_key = q.grid_key AND c.ix = q.ix0 AND c.iy = q.iy0 + 1
+  LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
+),
+zr AS (
+  SELECT url, region, region_ord, max(sz) AS sz, max(z_in) AS z_in,
+    max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
+    max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
+    max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
+    bool_and(ok) AS ok_all
+  FROM interp
+  GROUP BY url, region, region_ord
+),
+zwin AS (
+  SELECT z.url, z.region, z.region_ord,
+    {_r3(f"CASE WHEN rc.geoid_frame = 'ITRF2014' THEN -({zexpr_pre}) "
+         f"ELSE -({zexpr_pre} - (z.z_in - o.hz)) END")} AS z_out,
+    o.hlon AS x_out, o.hlat AS y_out,
+    gs.sigma + s.tss + s.mllw AS unc,
+    row_number() OVER (PARTITION BY z.url ORDER BY z.region_ord DESC) AS rn
+  FROM zr z
+  JOIN rcat rc ON rc.region = z.region
+  JOIN sig s ON s.region = z.region
+  JOIN gsig gs ON gs.geoid_name = rc.geoid_name
+  JOIN ohop o ON o.url = z.url
+  WHERE z.ok_all
+)
+SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index,
+  w.x_out, w.y_out, w.z_out, w.unc
+FROM zwin w WHERE w.rn = 1"""
+
+
 def q_hot_tiles(fx: str, min_rows: int = 200) -> str:
     return (
         f"WITH {_geo_cte(fx)} SELECT "
@@ -561,13 +684,19 @@ gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
 gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
 sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
 gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
-ctr AS (
-  SELECT m.cx, m.cy, m.region, m.region_ord,
-         c.lon + rc.frame_dlon AS slon, c.lat + rc.frame_dlat AS slat,
-         rc.geoid_name
+ct0 AS (
+  SELECT m.cx, m.cy, m.region, m.region_ord, c.lon, c.lat,
+         rc.geoid_name, rc.geoid_frame
   FROM cmemb m
   JOIN rcat rc ON rc.region = m.region
   JOIN centers c ON c.cx = m.cx AND c.cy = m.cy
+),
+{sql_hop_ctes("ct", "ct0", "lon", "lat", "0.0", "geoid_frame",
+              "cx, cy, region, region_ord, geoid_name")},
+ctr AS (
+  SELECT cx, cy, region, region_ord, geoid_name,
+         hlon AS slon, hlat AS slat, hz AS sz
+  FROM cthop
 ),
 csamp AS (
   SELECT t.*, s.surface,
@@ -577,7 +706,7 @@ csamp AS (
   CROSS JOIN (VALUES ('geoid'), ('tss'), ('mllw')) AS s(surface)
 ),
 csampq AS (
-  SELECT c.cx, c.cy, c.region, c.region_ord, c.surface, c.grid_key, gm.nx, gm.ny,
+  SELECT c.cx, c.cy, c.region, c.region_ord, c.surface, c.grid_key, c.sz, gm.nx, gm.ny,
     (c.slon - gm.origin_x) / gm.dx AS gx,
     (c.slat - gm.origin_y) / gm.dy AS gy,
     CAST(LEAST(GREATEST(floor((c.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
@@ -589,7 +718,7 @@ csampq AS (
   FROM csamp c JOIN gmeta gm ON gm.grid_key = c.grid_key
 ),
 cinterp AS (
-  SELECT q.cx, q.cy, q.region, q.region_ord, q.surface,
+  SELECT q.cx, q.cy, q.region, q.region_ord, q.surface, q.sz,
     (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
       + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
     (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
@@ -601,7 +730,7 @@ cinterp AS (
   LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
 ),
 czr AS (
-  SELECT cx, cy, region, region_ord,
+  SELECT cx, cy, region, region_ord, max(sz) AS sz,
     max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
     max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
     max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
@@ -610,7 +739,7 @@ czr AS (
 ),
 czwin AS (
   SELECT z.cx, z.cy,
-    {_r3("-(((0.0 - z.g_geoid) + z.g_tss) - z.g_mllw)")} AS z_samp,
+    {_r3("-(((z.sz - z.g_geoid) + z.g_tss) - z.g_mllw)")} AS z_samp,
     gs.sigma + s.tss + s.mllw AS unc_samp,
     CAST(z.region_ord AS INTEGER) AS region_index,
     row_number() OVER (PARTITION BY z.cx, z.cy ORDER BY z.region_ord DESC) AS rn

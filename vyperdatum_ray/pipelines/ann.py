@@ -133,26 +133,37 @@ class IVFScorer:
         return pa.Table.from_pandas(pd.concat(rows), preserve_index=False)
 
 
-def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
-    """Approximate IVF top-k (rows-only check; tests assert recall vs
-    brute force)."""
-    import pyarrow.parquet as pq
+TRAIN_SAMPLE = 65536  # IVF centroid-training sample cap
 
-    qids, qmat = _query_matrix(sf_dir)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    all_emb = np.stack(t.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+
+def _train_centroids(sf_dir: str, nlist: int, sample_cap: int = TRAIN_SAMPLE) -> np.ndarray:
+    """k-means-lite centroids trained on a BOUNDED sample (the first
+    ``sample_cap`` vectors via a streamed ``Dataset.limit`` — only the
+    needed leading blocks are read, never the full table; at 100 TB the
+    sample is a fixed-size driver array while the corpus streams).
+    Deterministic: fixed seed, fixed sample order."""
+    sample = _emb(sf_dir).limit(sample_cap).to_pandas()
+    emb = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(11)
-    cents = all_emb[rng.choice(len(all_emb), size=min(nlist, len(all_emb)), replace=False)]
-    # a few Lloyd iterations (driver-side, deterministic) — sampled
-    # seeds alone give lopsided lists and poor recall
-    normed = all_emb / np.linalg.norm(all_emb, axis=1, keepdims=True)
+    cents = emb[rng.choice(len(emb), size=min(nlist, len(emb)), replace=False)]
+    normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    # a few Lloyd iterations on the sample — sampled seeds alone give
+    # lopsided lists and poor recall
     for _ in range(4):
         c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         assign = np.argmax(normed @ c.T, axis=1)
         for j in range(len(cents)):
-            members = all_emb[assign == j]
+            members = emb[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
+    return cents
+
+
+def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
+    """Approximate IVF top-k (rows-only check; tests assert recall vs
+    brute force)."""
+    qids, qmat = _query_matrix(sf_dir)
+    cents = _train_centroids(sf_dir, nlist)
     refs = {
         "qids_ref": ray.put(qids),
         "qmat_ref": ray.put(qmat),
@@ -170,41 +181,142 @@ def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
-class CosinePairs:
-    """All-pairs cosine near-dup (embedding near-dup dedup family): each
-    batch scores against the broadcast full matrix and emits (a, b)
-    pairs with a < b and cosine >= tau. O(n^2) brute force is the
-    test-scale baseline; the scale path buckets by IVF/LSH list first
-    (q_ann_ivf's assignment) so only same-bucket pairs are scored."""
+class BlockPairScorer:
+    """Scores one (block_i, block_j) pair of the exact all-pairs
+    self-join: fetches the two normalized blocks zero-copy from the
+    object store (no task ever sees more than two blocks — the full
+    matrix is NEVER broadcast), does one matmul, emits (a < b, cosine
+    >= tau) pairs. A tiny per-actor block cache avoids refetching the
+    hot diagonal block."""
 
-    def __init__(self, ids_ref, mat_ref, tau: float):
-        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
-        mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
-        self.mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    def __init__(self, refs, tau: float):
+        self.refs = refs  # list[ObjectRef[pa.Table]] — refs only, not data
         self.tau = tau
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        if k not in self.cache:
+            if len(self.cache) >= 4:  # bound per-actor memory
+                self.cache.pop(next(iter(self.cache)))
+            t = ray.get(self.refs[k])
+            ids, mat = _batch_to_matrix(t)
+            self.cache[k] = (ids, mat / np.linalg.norm(mat, axis=1, keepdims=True))
+        return self.cache[k]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, m = _batch_to_matrix(batch)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ self.mat.T
-        ai, bi = np.nonzero(sims >= self.tau)
-        a, b = ids[ai], self.ids[bi]
-        keep = a < b
-        return pa.table({"vec_id_a": pa.array(a[keep], pa.int64()),
-                         "vec_id_b": pa.array(b[keep], pa.int64())})
+        a_out, b_out = [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(), batch.column("bj").to_pylist()):
+            ids_i, mi = self._block(bi)
+            ids_j, mj = self._block(bj)
+            sims = mi @ mj.T
+            ai, aj = np.nonzero(sims >= self.tau)
+            a, b = ids_i[ai], ids_j[aj]
+            keep = a < b
+            a_out.append(a[keep])
+            b_out.append(b[keep])
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(a_out) if a_out else [], pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(b_out) if b_out else [], pa.int64()),
+        })
 
 
-def q_neardup_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
-    """Embedding-cosine near-duplicate pairs over the whole embeddings
-    table."""
-    import pyarrow.parquet as pq
+def q_neardup_embedding(sf_dir: str, tau: float = 0.4, n_blocks: int = 8) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-duplicate pairs as a distributed
+    block self-join: normalize into B blocks held once in the object
+    store, then fan the B*(B+1)/2 block pairs out as a Dataset — each
+    task touches exactly two blocks. Memory per task is O(n/B), total
+    work the inherent O(n^2) of the exact op (the sub-quadratic scale
+    path is ``q_neardup_embedding_lsh``)."""
+    blocks = _emb(sf_dir).repartition(n_blocks).materialize()
+    refs = blocks.to_arrow_refs()
+    pairs = [{"bi": i, "bj": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    return ray.data.from_items(pairs).map_batches(
+        BlockPairScorer, fn_constructor_kwargs={"refs": refs, "tau": tau},
+        batch_format="pyarrow", batch_size=1, concurrency=(1, 8), num_cpus=1,
+    )
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id")
-    ids = df["vec_id"].to_numpy().astype(np.int64)
-    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    refs = {"ids_ref": ray.put(ids), "mat_ref": ray.put(mat), "tau": tau}
-    return _emb(sf_dir).map_batches(
-        CosinePairs, fn_constructor_kwargs=refs, batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 8), num_cpus=1,
+
+N_PLANES = 64  # LSH hyperplanes -> 64-bit sign codes
+N_LSH_BANDS = 16  # band the code into 16x4 bits
+LSH_BUCKET_GUARD = 1024  # max members per (band, bucket) scored
+
+
+def q_neardup_embedding_lsh(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """Sub-quadratic near-dup: random-hyperplane (SimHash-for-vectors)
+    bucketing. Each vector gets a 64-bit sign code from fixed seeded
+    hyperplanes, banded 16x4; vectors sharing any 4-bit band bucket are
+    candidates, scored exactly within the bucket group. The shuffle key
+    is (band, bucket) — bounded cardinality (16*16 groups), mega-buckets
+    guarded — and the full matrix is never assembled anywhere. Short
+    4-bit bands are tuned for the low tau=0.4 regime (P[bit agree] ~
+    0.63 -> per-band recall 0.16, OR over 16 bands ~ 0.94); at larger
+    corpora raise bits_per_band with n to keep buckets bounded.
+    Approximate by design (rows-only; recall vs the exact block-pair
+    join asserted in tests)."""
+    rng = np.random.default_rng(23)
+    planes = rng.normal(size=(64, N_PLANES))
+    planes_ref = ray.put(planes)
+    bits_per_band = N_PLANES // N_LSH_BANDS
+    mask = np.uint64((1 << bits_per_band) - 1)
+
+    class CodeStage:
+        def __init__(self, ref):
+            p = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.planes = p
+            self.weights = (np.uint64(1) << np.arange(N_PLANES, dtype=np.uint64))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_to_matrix(batch)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            bits = ((mat @ self.planes) > 0).astype(np.uint64)
+            code = (bits * self.weights[None, :]).sum(axis=1, dtype=np.uint64)
+            n = len(ids)
+            band_id = np.tile(np.arange(N_LSH_BANDS, dtype=np.int32), n)
+            shifts = np.arange(N_LSH_BANDS, dtype=np.uint64) * np.uint64(bits_per_band)
+            vals = ((code[:, None] >> shifts[None, :]) & mask).reshape(-1)
+            emb = np.repeat(mat, N_LSH_BANDS, axis=0)
+            return pa.table({
+                "band_id": pa.array(band_id, pa.int32()),
+                "bucket": pa.array(vals, pa.uint64()),
+                "id": pa.array(np.repeat(ids, N_LSH_BANDS), pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1), pa.float64()), 64),
+            })
+
+    def score_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy()
+        mat = np.stack(df["vec"].to_numpy())
+        bv = df["bucket"].to_numpy().astype(np.uint64)
+        order = np.argsort(bv, kind="stable")
+        ids, mat, bv = ids[order], mat[order], bv[order]
+        starts = np.flatnonzero(np.r_[True, bv[1:] != bv[:-1]])
+        ends = np.r_[starts[1:], len(bv)]
+        a_parts, b_parts = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or m > LSH_BUCKET_GUARD:  # mega-bucket guard
+                continue
+            seg_ids = ids[st:en]
+            sims = mat[st:en] @ mat[st:en].T
+            ai, aj = np.nonzero(sims >= tau)
+            keep = seg_ids[ai] < seg_ids[aj]
+            a_parts.append(seg_ids[ai][keep])
+            b_parts.append(seg_ids[aj][keep])
+        if not a_parts:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(a_parts),
+                             "id_b": np.concatenate(b_parts)})
+
+    from vyperdatum_ray.pipelines.textops import _dedup_pair_ds
+
+    ds = _emb(sf_dir).map_batches(
+        CodeStage, fn_constructor_kwargs={"ref": planes_ref},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+    cand = ds.groupby(["band_id", "bucket"]).map_groups(score_group, batch_format="pandas")
+    out = _dedup_pair_ds(cand)
+    return out.map_batches(
+        lambda t: pa.table({"vec_id_a": t.column("id_a"), "vec_id_b": t.column("id_b")}),
+        batch_format="pyarrow",
     )

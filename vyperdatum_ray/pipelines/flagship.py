@@ -49,7 +49,8 @@ class JoinTransform:
     STRtree + one grid set per worker, one actor pool instead of two
     half-size pools with an extra object-store hop between them."""
 
-    def __init__(self, catalog_ref, from_datum, to_datum, in_is_height, out_is_height):
+    def __init__(self, catalog_ref, from_datum, to_datum, in_is_height, out_is_height,
+                 z_col=None, out_frame=None, emit_xy=False):
         # Each actor is scheduled at num_cpus=1; pyarrow's internal pool
         # defaults to ALL cores, so N actors x N cores of kernel threads
         # thrash the box. One compute thread per actor — but ONLY inside
@@ -67,6 +68,7 @@ class JoinTransform:
         self.transform = DatumTransformer(
             catalog_ref=catalog_ref, from_datum=from_datum, to_datum=to_datum,
             in_is_height=in_is_height, out_is_height=out_is_height,
+            z_col=z_col, out_frame=out_frame, emit_xy=emit_xy,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -150,6 +150,90 @@ def q_datum_transform(sf_dir: str) -> ray.data.Dataset:
     return ds.select_columns(["url", "lat", "lon", "region", "region_index", "z_out", "unc"])
 
 
+def q_datum_transform_itrf(sf_dir: str) -> ray.data.Dataset:
+    """Transform with a DIFFERENT output horizontal frame (ITRF2014):
+    exercises the real Helmert hop on both sides of the reference's
+    branch (core.py:436-444) — ITRF-framed regions output their hopped
+    xy directly; NAD83-framed regions apply the 3-D z-correction
+    ``new_z - (z - diffz)`` with diffz from the input->ITRF2014 hop.
+    Input z is synthesized deterministically from the parsed lat/lon
+    (both sides compute the identical expression)."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+
+    catalog_ref = ray.put(load_catalog(sf_dir))
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        z = np.round((lat - 35.0) * 2.0 + (lon + 75.0), 3)
+        return batch.append_column("z_in", pa.array(z, pa.float64()))
+
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(add_z, batch_format="pyarrow")
+    ds = ds.map_batches(
+        JoinTransform,
+        fn_constructor_kwargs=dict(
+            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
+            in_is_height=True, out_is_height=False,
+            z_col="z_in", out_frame="ITRF2014", emit_xy=True,
+        ),
+        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "region", "region_index", "x_out", "y_out", "z_out", "unc"])
+
+
+def q_transform_projected(sf_dir: str, zone: int = 18) -> ray.data.Dataset:
+    """Projected-CRS input path (M1 completion, reference
+    core.py:198-248 / test_core.py:89-199): points arrive in UTM
+    (engine forward-projects the geocoded coordinates to define the
+    projected input, as the reference's UTM goldens do), the engine
+    inverse-projects them to geographic NAD83 with the from-scratch
+    transverse-Mercator kernel, then runs the normal PIP + datum
+    transform. Output carries the projected AND recovered coords."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.core.projection import utm_forward, utm_inverse
+    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+
+    catalog_ref = ray.put(load_catalog(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        easting, northing = utm_forward(lon, lat, zone)
+        rlon, rlat = utm_inverse(easting, northing, zone)
+        return pa.table({
+            "url": batch.column("url"),
+            "easting": pa.array(easting, pa.float64()),
+            "northing": pa.array(northing, pa.float64()),
+            "lon": pa.array(rlon, pa.float64()),
+            "lat": pa.array(rlat, pa.float64()),
+        })
+
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(project, batch_format="pyarrow")
+    ds = ds.map_batches(
+        JoinTransform,
+        fn_constructor_kwargs=dict(
+            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
+            in_is_height=True, out_is_height=False,
+        ),
+        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "easting", "northing", "lon", "lat", "region", "region_index",
+         "z_out", "unc"])
+
+
 def q_flagship(sf_dir: str) -> ray.data.Dataset:
     """Full output schema incl. cells, mask and NaN/-1 rows (rows-only
     check; the SQL-checkable projection is q_datum_transform)."""

@@ -77,7 +77,7 @@ class _RegionalSep:
         self.cands = _candidates(catalog, meta)
         self.steps = []  # per candidate: list[(grid, sign)] | None
         self.unc = []
-        self.dlonlat = []
+        self.frames = []
         self.names = []
         for i in self.cands:
             r = catalog.regions[i]
@@ -95,9 +95,7 @@ class _RegionalSep:
                                     catalog.sigmas.get(r.name, {}),
                                     catalog.geoid_sigmas.get(r.geoid_name, 0.0))
             )
-            self.dlonlat.append(
-                (r.frame_dlon, r.frame_dlat) if r.geoid_frame != INPUT_FRAME else (0.0, 0.0)
-            )
+            self.frames.append(r.geoid_frame)
             self.names.append(r.name)
 
     def cell_lonlat(self, row: np.ndarray, col: np.ndarray):
@@ -112,10 +110,17 @@ class _RegionalSep:
         for pos, steps in enumerate(self.steps):
             if steps is None:
                 continue
-            dlon, dlat = self.dlonlat[pos]
-            slon = lon + dlon if dlon else lon
-            slat = lat + dlat if dlat else lat
-            sep = np.zeros(len(lon), dtype=np.float64)
+            frame = self.frames[pos]
+            if frame != INPUT_FRAME:
+                # real 3-D Helmert hop of the cell centers (z = 0): the
+                # separation starts at the frame dz, as in the points path
+                from vyperdatum_ray.core.helmert import frame_hop
+
+                slon, slat, sep0 = frame_hop(lon, lat, np.zeros(len(lon)), frame)
+                sep = sep0
+            else:
+                slon, slat = lon, lat
+                sep = np.zeros(len(lon), dtype=np.float64)
             for grid, sign in steps:
                 sep = sep + sign * grid.interpolate(slon, slat)
             # outside one grid -> +/-inf; outside two with opposite step

@@ -201,29 +201,66 @@ FROM events GROUP BY user_id, hour, event_type""",
 }
 
 
+USER_SALT_K = 1024  # bounded shuffle-key cardinality for per-user ops
+
+
+def _salted_by_user(ds: ray.data.Dataset, fn, k: int = USER_SALT_K) -> ray.data.Dataset:
+    """Per-user stateful ops at bounded shuffle granularity: group by
+    ``hash(user_id) % k`` (k bounded groups — NOT one Python call per
+    user, the high-cardinality map_groups anti-pattern), and let ``fn``
+    handle the many users inside one group fully vectorized. All rows of
+    one user share a salt, so per-user semantics are exact."""
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = (uid * np.uint64(2654435761)) % np.uint64(k)
+        return batch.append_column("u_salt", pa.array(salt, pa.uint64()))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["u_salt"]))
+
+    ds = ds.map_batches(add_salt, batch_format="pyarrow")
+    return ds.groupby("u_salt").map_groups(run, batch_format="pandas")
+
+
+def _session_ids(df: pd.DataFrame, gap: np.timedelta64) -> tuple[pd.DataFrame, np.ndarray]:
+    """0-based per-user session ids for a (user_id, ts)-sorted frame,
+    vectorized ACROSS user boundaries: a session break is a new user or
+    a >gap silence; per-user ids are global cumsum minus the user's
+    first value (no per-user Python loop)."""
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    ts = df["ts"].to_numpy()
+    uid = df["user_id"].to_numpy()
+    n = len(df)
+    if n == 0:
+        return df, np.zeros(0, dtype=np.int64)
+    new_user = np.r_[True, uid[1:] != uid[:-1]]
+    gap_break = np.r_[True, np.diff(ts) > gap]
+    new_sess = new_user | gap_break
+    sid_global = np.cumsum(new_sess) - 1
+    run_id = np.cumsum(new_user) - 1
+    first_sid = sid_global[np.flatnonzero(new_user)]
+    return df, sid_global - first_sid[run_id]
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Gap-based sessionization (streaming-shaped stateful op): shuffle
-    by user, per-user sort by event time, a new session starts after a
-    >gap silence. The per-user state never crosses users, so the only
-    shuffle is the user_id groupby; session ids are 0-based per user."""
+    by a bounded user-hash salt, sort each group by (user_id, ts), and
+    compute session breaks vectorized with np.diff + user-boundary
+    masks; a new session starts after a >gap silence. Session ids are
+    0-based per user."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="stable")
-        ts = df["ts"].to_numpy()
-        new_sess = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(new_sess) - 1
+        df, sid = _session_ids(df, gap)
         out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "session_id": sid,
-                            "ts": ts})
-        g = out.groupby(["user_id", "session_id"], as_index=False).agg(
+                            "ts": df["ts"].to_numpy()})
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max")
         )
-        return g
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _salted_by_user(ds, sessions)
 
 
 ORACLES["sessionize"] = """
@@ -237,8 +274,8 @@ WITH lagd AS (
 ),
 sess AS (
   SELECT user_id, ts,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM lagd
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -248,28 +285,51 @@ FROM sess GROUP BY user_id, session_id"""
 
 def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q3 shape: 3-way join (customer |> orders |> lineitem) via
-    chained broadcast lookups — customer and the filtered orders are
-    small sides shipped once with ray.put; lineitem streams. Revenue per
-    order, top 10 by (revenue desc, orderkey)."""
+    chained broadcast lookups. The BUILDING custkey set is broadcast
+    once; ORDERS STREAMS through a map_batches filter (never
+    materialized on the driver) and only the filtered orderkey set — the
+    small surviving side — is collected and broadcast; lineitem streams
+    against it. (The no-small-side alternative is Dataset.join, the
+    ``shuffle_join`` path.)"""
     cutoff = datetime.datetime(1995, 3, 15)
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[(orders["o_custkey"].isin(building)) & (orders["o_orderdate"] < cutoff)]
-    odate = pd.Series(orders["o_orderdate"].to_numpy(), index=orders["o_orderkey"].to_numpy())
-    odate_ref = ray.put(odate)
+    building = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    building_ref = ray.put(building)
+    cutoff_scalar = pa.scalar(cutoff, type=pa.timestamp("us"))
+
+    def _member_sorted(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_set, keys)
+        pos_c = np.minimum(pos, len(sorted_set) - 1)
+        return (pos < len(sorted_set)) & (sorted_set[pos_c] == keys)
+
+    class FilterOrders:
+        def __init__(self, ref):
+            self.building = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.less(batch.column("o_orderdate"), cutoff_scalar))
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            keep = _member_sorted(ck, self.building)
+            return pa.table({"o_orderkey": pa.array(
+                batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep])})
+
+    okeys = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(FilterOrders, fn_constructor_kwargs={"ref": building_ref},
+                     batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        .to_pandas()["o_orderkey"].to_numpy()
+    )
+    okeys_ref = ray.put(np.sort(okeys))
 
     class RevenuePartial:
         def __init__(self, ref):
-            self.odate = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.keys = set(self.odate.index)
+            self.okeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.greater(batch.column("l_shipdate"),
-                                            pa.scalar(cutoff, type=pa.timestamp("us"))))
+            batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff_scalar))
             ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            keep = np.fromiter((k in self.keys for k in ok), dtype=bool, count=len(ok))
+            keep = _member_sorted(ok, self.okeys)
             price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
             disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
             ip = np.rint(price * 100.0).astype(np.int64)
@@ -281,7 +341,7 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
     ds = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
     out = ds.map_batches(
-        RevenuePartial, fn_constructor_kwargs={"ref": odate_ref},
+        RevenuePartial, fn_constructor_kwargs={"ref": okeys_ref},
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
     ).groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="r_rev"))
 
@@ -366,28 +426,29 @@ QUALIFY rank <= 3"""
 def q_asof_join(sf_dir: str) -> ray.data.Dataset:
     """Stream-to-stream as-of join: each purchase event matched to the
     same user's most recent click at-or-before it. Ray Data has no asof
-    join operator; the composition is hash-shuffle by user +
-    per-group sorted searchsorted — the documented partitioning
-    assumption is that one user's history fits one group."""
+    join operator; the composition is a bounded user-hash-salt shuffle +
+    one vectorized ``pd.merge_asof(by=user_id)`` per group (C kernel
+    across ALL the group's users — no per-user Python calls). The
+    documented partitioning assumption is that all rows of a user share
+    a salt group."""
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[df["event_type"] == "purchase"].sort_values("ts")
-        c = df[df["event_type"] == "click"].sort_values("ts")
+    def asof_group(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        c = df[df["event_type"] == "click"].sort_values("ts", kind="stable")
+        p = pd.DataFrame({"user_id": p["user_id"].to_numpy(),
+                          "purchase_ts": p["ts"].to_numpy()})
+        c = pd.DataFrame({"user_id": c["user_id"].to_numpy(),
+                          "click_ts": c["ts"].to_numpy()})
         if p.empty or c.empty:
             return pd.DataFrame({
                 "user_id": pd.Series(dtype=df["user_id"].dtype),
                 "purchase_ts": pd.Series(dtype="datetime64[us]"),
                 "click_ts": pd.Series(dtype="datetime64[us]"),
             })
-        cts = c["ts"].to_numpy()
-        pts = p["ts"].to_numpy()
-        idx = np.searchsorted(cts, pts, side="right") - 1
-        ok = idx >= 0
-        return pd.DataFrame({
-            "user_id": p["user_id"].to_numpy()[ok],
-            "purchase_ts": pts[ok],
-            "click_ts": cts[idx[ok]],
-        })
+        m = pd.merge_asof(p, c, left_on="purchase_ts", right_on="click_ts",
+                          by="user_id", direction="backward")
+        m = m[m["click_ts"].notna()]
+        return m[["user_id", "purchase_ts", "click_ts"]]
 
     ds = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
     ds = ds.map_batches(
@@ -395,7 +456,7 @@ def q_asof_join(sf_dir: str) -> ray.data.Dataset:
                                     value_set=pa.array(["purchase", "click"]))),
         batch_format="pyarrow",
     )
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _salted_by_user(ds, asof_group)
 
 
 ORACLES["asof_join"] = """
@@ -494,26 +555,21 @@ GROUP BY o_orderpriority"""
 def q_session_join(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Interval join: each 'error' event joined to its containing
     session (sessions = gap-based intervals over ALL the user's
-    events). Per-user state keeps the interval join shuffle-free beyond
-    the user_id partition — the documented partitioning assumption."""
+    events). Same bounded-salt shuffle + cross-user vectorized session
+    ids as q_sessionize — no per-user Python calls."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="stable")
-        ts = df["ts"].to_numpy()
-        new_sess = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(new_sess) - 1
+    def err_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df, sid = _session_ids(df, gap)
         err = df["event_type"].to_numpy() == "error"
         return pd.DataFrame({
             "user_id": df["user_id"].to_numpy()[err],
-            "ts": ts[err],
+            "ts": df["ts"].to_numpy()[err],
             "session_id": sid[err],
         })
 
     ds = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _salted_by_user(ds, err_sessions)
 
 
 ORACLES["session_join"] = """
@@ -527,8 +583,8 @@ WITH lagd AS (
 ),
 sess AS (
   SELECT user_id, ts, event_type,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM lagd
 )
 SELECT user_id, ts, session_id FROM sess WHERE event_type = 'error'"""

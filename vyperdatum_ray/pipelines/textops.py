@@ -124,38 +124,46 @@ _LANG_STOPWORDS = {
 
 
 class LangId:
-    """n-gram/stopword heuristic language ID (actor pool: word regex and
-    stopword lookups compiled once per actor)."""
+    """Stopword-vote language ID, fully vectorized per batch: Arrow
+    lower + regex split -> one flat token array -> per-lang ``pc.is_in``
+    membership -> per-document vote sums via ``np.add.reduceat`` (the
+    same flat-token pattern SimHashStage uses — no per-row or per-token
+    Python loops). Ties break to the lexicographically LARGEST language
+    name; docs with zero stopword votes predict 'und' with conf 0."""
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zA-Z']+")
-        self.table = {}
-        for lang, words in _LANG_STOPWORDS.items():
-            for w in words:
-                self.table.setdefault(w, []).append(lang)
-        self.langs = list(_LANG_STOPWORDS)
+        # tie-break order: descending lang name, argmax takes the first max
+        self.langs = sorted(_LANG_STOPWORDS, reverse=True)
+        self.stopsets = [pa.array(_LANG_STOPWORDS[l], pa.string()) for l in self.langs]
+        self.lang_arr = np.array(self.langs, dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        pred = np.empty(len(texts), dtype=object)
-        conf = np.zeros(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            scores = dict.fromkeys(self.langs, 0)
-            toks = self.word.findall((t or "").lower())
-            for tok in toks:
-                for lang in self.table.get(tok, ()):
-                    scores[lang] += 1
-            best = max(self.langs, key=lambda l: (scores[l], l))
-            total = sum(scores.values())
-            pred[i] = best if total else "und"
-            conf[i] = scores[best] / total if total else 0.0
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.coalesce(col, "")), r"[^a-z']+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(counts)
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            # split always yields >= 1 fragment per doc, so every reduceat
+            # segment is non-empty ('' matches no stopword and votes 0)
+            for j, ss in enumerate(self.stopsets):
+                hit = pc.is_in(flat, value_set=ss).to_numpy(zero_copy_only=False).astype(np.int64)
+                scores[:, j] = np.add.reduceat(hit, offsets)
+        total = scores.sum(axis=1)
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best]
+        pred = np.where(total > 0, self.lang_arr[best], "und")
+        conf = np.where(total > 0, best_score / np.maximum(total, 1), 0.0)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang_pred": pa.array(pred, pa.string()),
-                "lang_conf": pa.array(np.round(conf, 6)),
+                "lang_conf": pa.array(conf, pa.float64()),
             }
         )
 
@@ -164,6 +172,36 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
     )
+
+
+def langid_oracle_sql() -> str:
+    """DuckDB mirror of LangId: same tokenization ([a-z']+ runs of the
+    lowered text), same per-lang stopword counts, same descending-name
+    tie-break, same raw double division for confidence."""
+    langs = sorted(_LANG_STOPWORDS, reverse=True)
+    score_cols = []
+    for l in langs:
+        words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[l])
+        score_cols.append(
+            f"CAST(len(list_filter(t, x -> x IN ({words}))) AS BIGINT) AS s_{l}"
+        )
+    tot = " + ".join(f"s_{l}" for l in langs)
+    pred_cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:])
+        pred_cases.append(f"WHEN {conds} THEN '{l}'")
+    pred = (f"CASE WHEN {tot} = 0 THEN 'und' "
+            + " ".join(pred_cases) + f" ELSE '{langs[-1]}' END")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t FROM documents
+),
+sc AS (SELECT doc_id, {', '.join(score_cols)} FROM toks)
+SELECT doc_id, {pred} AS lang_pred,
+  CASE WHEN {tot} = 0 THEN 0.0
+       ELSE CAST({best} AS DOUBLE) / ({tot}) END AS lang_conf
+FROM sc"""
 
 
 # -------------------------------------------------- fingerprints / LSH ---
@@ -419,50 +457,95 @@ def _jaccard_from_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-class JaccardVerify:
-    """Exact character-5-gram Jaccard for candidate pairs. Holds the
-    shingle sets of the doc corpus (broadcast once via ray.put) — the
-    verify side of MinHash-LSH dedup. At web scale the doc-side state is
-    partitioned (hash-join by id) instead of broadcast; at the
-    verification stage the candidate volume is already tiny relative to
-    the corpus, which is what makes this affordable."""
-
-    def __init__(self, docs_ref, tau: float):
-        docs = ray.get(docs_ref) if isinstance(docs_ref, ray.ObjectRef) else docs_ref
-        self.shingles = {i: _shingle_hashes(t, 5) for i, t in docs.items()}
-        self.tau = tau
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
-        jac = np.empty(len(a_ids), dtype=np.float64)
-        for i in range(len(a_ids)):
-            jac[i] = _jaccard_from_sorted(self.shingles[a_ids[i]], self.shingles[b_ids[i]])
-        keep = jac >= self.tau
-        return pa.table(
-            {
-                "id_a": pa.array(a_ids[keep], pa.int64()),
-                "id_b": pa.array(b_ids[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-            }
-        )
-
-
-def q_neardup_jaccard(sf_dir: str, tau: float = 0.5) -> ray.data.Dataset:
+def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.data.Dataset:
     """n-gram Jaccard near-dup: MinHash-LSH candidate pairs verified
     with exact 5-gram Jaccard >= tau (candidate recall from LSH, final
-    precision from the exact measure)."""
-    import pyarrow.parquet as pq
+    precision from the exact measure).
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    docs_ref = ray.put(docs)
+    The candidate ids are HASH-JOINED back to document text with a
+    repartition join expressed as union + bounded-salt groupby (both
+    pair SIDES fetch their text in ONE doc-keyed exchange, then pairs
+    reassemble in a second pair-keyed exchange) — no whole-corpus
+    broadcast, no driver materialization, every stage streams. The
+    groupby form deliberately avoids ``Dataset.join``: its per-join
+    aggregator-actor pool starves/deadlocks the 2-joins-in-one-DAG
+    shape at small CPU counts."""
     cand = q_minhash_pairs(sf_dir)
-    return cand.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"docs_ref": docs_ref, "tau": tau},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    )
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ksalt = np.uint64(k_salt)
+
+    def requests(t: pa.Table) -> pa.Table:
+        """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
+        slot 1 = b); pair_id packs (id_a, id_b)."""
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = (a << np.int64(32)) | b
+        n = len(a)
+        return pa.table({
+            "key": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_id": pa.array(np.concatenate([pair, pair]), pa.int64()),
+            "slot": pa.array(np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)], pa.int8()),
+            "text": pa.array([None] * (2 * n), pa.string()),
+        })
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": pa.array(t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
+            "pair_id": pa.array(np.full(n, -1, np.int64)),
+            "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "text": t.column("text"),
+        })
+
+    def add_key_salt(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("salt", pa.array((k * np.uint64(2654435761)) % ksalt,
+                                                pa.uint64()))
+
+    def resolve_texts(df: pd.DataFrame) -> pd.DataFrame:
+        """One doc-keyed group: map every request row to its text
+        (vectorized reindex over the group's doc rows)."""
+        d = df[df["slot"] < 0]
+        r = df[df["slot"] >= 0]
+        if r.empty:
+            return pd.DataFrame({"pair_id": pd.Series(dtype=np.int64),
+                                 "slot": pd.Series(dtype=np.int8),
+                                 "text": pd.Series(dtype=object)})
+        lut = pd.Series(d["text"].to_numpy(), index=d["key"].to_numpy())
+        return pd.DataFrame({
+            "pair_id": r["pair_id"].to_numpy(),
+            "slot": r["slot"].to_numpy(),
+            "text": lut.reindex(r["key"].to_numpy()).to_numpy(),
+        })
+
+    def add_pair_salt(t: pa.Table) -> pa.Table:
+        p = t.column("pair_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("psalt", pa.array((p * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58),
+                                                 pa.uint64()))
+
+    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["slot"] == 0][["pair_id", "text"]].rename(columns={"text": "text_a"})
+        b = df[df["slot"] == 1][["pair_id", "text"]].rename(columns={"text": "text_b"})
+        m = a.merge(b, on="pair_id")
+        pair = m["pair_id"].to_numpy()
+        id_a = (pair >> np.int64(32)).astype(np.int64)
+        id_b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+        ta = m["text_a"].to_numpy()
+        tb = m["text_b"].to_numpy()
+        jac = np.empty(len(m), dtype=np.float64)
+        for i in range(len(m)):
+            jac[i] = _jaccard_from_sorted(_shingle_hashes(ta[i], 5),
+                                          _shingle_hashes(tb[i], 5))
+        keep = jac >= tau
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep],
+                             "jaccard": np.round(jac[keep], 6)})
+
+    u = docs.map_batches(doc_side, batch_format="pyarrow").union(
+        cand.map_batches(requests, batch_format="pyarrow"))
+    u = u.map_batches(add_key_salt, batch_format="pyarrow")
+    resolved = u.groupby("salt").map_groups(resolve_texts, batch_format="pandas")
+    resolved = resolved.map_batches(add_pair_salt, batch_format="pyarrow")
+    return resolved.groupby("psalt").map_groups(score_pairs, batch_format="pandas")
 
 
 def q_simhash_neardup(sf_dir: str, bits_per_band: int = 16) -> ray.data.Dataset:
