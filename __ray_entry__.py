@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textops.q_quality_filter,
         "quality_score": textops.q_quality_score,
         "langid": textops.q_langid,
+        "lang_token_stats": textops.q_lang_token_stats,
+        "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
         "ann_topk": ann.q_ann_topk,
@@ -116,8 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from vyperdatum_ray.pipelines.ann import dedup_clusters_oracle_sql
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
-    from vyperdatum_ray.pipelines.textops import langid_oracle_sql
+    from vyperdatum_ray.pipelines.textops import (langid_oracle_sql,
+                                                  lang_token_stats_oracle_sql)
     from vyperdatum_ray import oracle
 
     fx = _fx(_SF001)
@@ -184,6 +188,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "langid": langid_oracle_sql(),
+        "lang_token_stats": lang_token_stats_oracle_sql(),
+        "dedup_clusters_embedding": dedup_clusters_oracle_sql(),
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "
             "AS n_hosts FROM read_parquet('{fx}/pages/*.parquet')".format(fx=fx)

@@ -158,3 +158,26 @@ def test_neardup_embedding_lsh_recall(ray_session):
     l = set(zip(lsh["vec_id_a"].astype(int), lsh["vec_id_b"].astype(int)))
     assert l <= e  # candidates are exact-scored -> no false positives
     assert len(l & e) / max(len(e), 1) >= 0.7
+
+
+def test_dedup_clusters_embedding_transitive(ray_session):
+    """Cluster ids are the transitive min over the exact pair graph;
+    canonical rows are exactly the cluster roots."""
+    from vyperdatum_ray.pipelines.ann import (q_dedup_clusters_embedding,
+                                              q_neardup_embedding)
+
+    out = q_dedup_clusters_embedding(SF, tau=0.4).to_pandas()
+    pairs = q_neardup_embedding(SF, tau=0.4).to_pandas()
+    # every pair lands in one cluster
+    c = out.set_index("vec_id")["cluster_id"]
+    assert (c[pairs["vec_id_a"].to_numpy()].to_numpy()
+            == c[pairs["vec_id_b"].to_numpy()].to_numpy()).all()
+    # canonical = min id of its cluster, exactly once per cluster
+    canon = out[out["is_canonical"] == 1]
+    assert (canon["vec_id"] == canon["cluster_id"]).all()
+    assert canon["cluster_id"].is_unique
+    assert set(canon["cluster_id"]) == set(out["cluster_id"].unique())
+    # a non-edge singleton is its own cluster
+    singles = out[~out["vec_id"].isin(
+        set(pairs["vec_id_a"]) | set(pairs["vec_id_b"]))]
+    assert (singles["vec_id"] == singles["cluster_id"]).all()

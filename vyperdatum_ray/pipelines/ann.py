@@ -236,6 +236,83 @@ def q_neardup_embedding(sf_dir: str, tau: float = 0.4, n_blocks: int = 8) -> ray
     )
 
 
+def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+    """Near-dup DEDUP (keep-one) over the embedding-cosine graph:
+    connected components of the exact pair graph, canonical = min
+    vec_id per component; every vector gets (cluster_id, is_canonical).
+
+    Scale shape: the pair set is the bounded output of the block-pair
+    self-join (near-dup density, not corpus size), so the union-find
+    runs driver-side on that small edge list; the root map broadcasts
+    once and the corpus STREAMS through a vectorized searchsorted
+    lookup. (For pathological densities, label propagation via
+    iterated groupby-min replaces the driver step.)"""
+    pairs = q_neardup_embedding(sf_dir, tau=tau).to_pandas()
+    a = pairs["vec_id_a"].to_numpy(np.int64)
+    b = pairs["vec_id_b"].to_numpy(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    touched = np.array(sorted(parent), dtype=np.int64)
+    roots = np.array([find(int(t)) for t in touched], dtype=np.int64)
+    lut_ref = ray.put((touched, roots))
+
+    class AssignCluster:
+        def __init__(self, ref):
+            self.keys, self.roots = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            cluster = ids.copy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, ids)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                hit = (pos < len(self.keys)) & (self.keys[pos_c] == ids)
+                cluster[hit] = self.roots[pos_c[hit]]
+            return pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_canonical": pa.array((ids == cluster).astype(np.int64), pa.int64()),
+            })
+
+    return _emb(sf_dir).map_batches(
+        AssignCluster, fn_constructor_kwargs={"ref": lut_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+def dedup_clusters_oracle_sql(tau: float = 0.4) -> str:
+    """Recursive-CTE mirror: exact pair graph + transitive min-root."""
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS pa_, b.vec_id AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {tau}
+),
+edges AS (SELECT pa_ AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa_ FROM pairs),
+walk(id, root) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT ed.s, w.root FROM walk w JOIN edges ed ON ed.d = w.id
+)
+SELECT id AS vec_id, min(root) AS cluster_id,
+  CAST(CASE WHEN id = min(root) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM walk GROUP BY id"""
+
+
 N_PLANES = 64  # LSH hyperplanes -> 64-bit sign codes
 N_LSH_BANDS = 16  # band the code into 16x4 bits
 LSH_BUCKET_GUARD = 1024  # max members per (band, bucket) scored

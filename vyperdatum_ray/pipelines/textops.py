@@ -174,6 +174,58 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_lang_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Composition op: corpus token volume per PREDICTED language (the
+    shape of a per-language training-data budget report). One fused
+    actor-pool pass computes langid + token count per batch and emits
+    per-language partials; the shuffle carries only (lang, n, tokens)."""
+
+    class LangTok(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = super().__call__(batch)
+            n_tok = pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"),
+                            pa.int64())
+            df = pd.DataFrame({
+                "lang_pred": pred.column("lang_pred").to_numpy(zero_copy_only=False),
+                "n": n_tok.to_numpy(zero_copy_only=False),
+            })
+            g = df.groupby("lang_pred", as_index=False).agg(
+                p_docs=("n", "size"), p_tokens=("n", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangTok, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return ds.groupby("lang_pred").aggregate(
+        Sum("p_docs", alias_name="n_docs"), Sum("p_tokens", alias_name="sum_tokens"))
+
+
+def lang_token_stats_oracle_sql() -> str:
+    langs = sorted(_LANG_STOPWORDS, reverse=True)
+    score_cols = []
+    for l in langs:
+        words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[l])
+        score_cols.append(
+            f"CAST(len(list_filter(t, x -> x IN ({words}))) AS BIGINT) AS s_{l}"
+        )
+    tot = " + ".join(f"s_{l}" for l in langs)
+    pred_cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:])
+        pred_cases.append(f"WHEN {conds} THEN '{l}'")
+    pred = (f"CASE WHEN {tot} = 0 THEN 'und' "
+            + " ".join(pred_cases) + f" ELSE '{langs[-1]}' END")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t,
+    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+sc AS (SELECT doc_id, n_tok, {', '.join(score_cols)} FROM toks)
+SELECT {pred} AS lang_pred, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM sc GROUP BY lang_pred"""
+
+
 def langid_oracle_sql() -> str:
     """DuckDB mirror of LangId: same tokenization ([a-z']+ runs of the
     lowered text), same per-lang stopword counts, same descending-name
