@@ -181,3 +181,26 @@ def test_dedup_clusters_embedding_transitive(ray_session):
     singles = out[~out["vec_id"].isin(
         set(pairs["vec_id_a"]) | set(pairs["vec_id_b"]))]
     assert (singles["vec_id"] == singles["cluster_id"]).all()
+
+
+def test_shingle_batch_matches_per_doc():
+    """The batch shingle pass must produce exactly the per-doc sorted
+    uniques, and batch minhash signatures must equal per-doc ones."""
+    from vyperdatum_ray.pipelines.textops import (MinHasher, MinHashStage,
+                                                  _shingle_hashes,
+                                                  _shingle_hashes_batch)
+
+    texts = ["hello world", "", "ab", "the quick brown fox", "hello world",
+             "x" * 3, "aaaaaaa", "tidal datums and shoreline change"]
+    flat, counts = _shingle_hashes_batch(texts, 5)
+    off = 0
+    for t, c in zip(texts, counts):
+        expect = _shingle_hashes(t, 5)
+        np.testing.assert_array_equal(flat[off:off + c], expect)
+        off += c
+    assert off == len(flat)
+    stage = MinHashStage()
+    sigs = stage._batch_signatures(texts)
+    mh = MinHasher()
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(sigs[i], mh.signature(t))

@@ -275,6 +275,43 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def _shingle_hashes_batch(texts: list, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document sorted-unique k-shingle hashes for a WHOLE batch in
+    one vectorized pass (identical values to per-doc _shingle_hashes —
+    same rolling hash, same space padding of short docs): returns
+    (flat, counts) where ``flat`` concatenates each doc's unique hashes
+    in doc order. The only per-doc Python work is the byte encode."""
+    bufs = []
+    for t in texts:
+        b = (t or "").encode()
+        bufs.append(b if len(b) >= k else b + b"\x20" * (k - len(b)))
+    n_docs = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n_docs)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+    # rolling hash over the WHOLE concatenated buffer with contiguous
+    # shifted slices (no gathers), then mask windows crossing doc
+    # boundaries; per-doc unique via ONE sort of (doc << 31 | hash)
+    # packed keys (hashes are < 2^31)
+    n_win = len(data) - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        h = (h * np.uint64(257) + data[j : j + n_win]) % _SHINGLE_MOD
+    doc_of_pos = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    doc_of = doc_of_pos[:n_win]
+    pos_in_doc = np.arange(n_win, dtype=np.int64) - starts[doc_of]
+    valid = pos_in_doc <= lens[doc_of] - k
+    key = (doc_of[valid].astype(np.uint64) << np.uint64(31)) | h[valid]
+    key.sort(kind="stable")
+    keep = np.r_[True, key[1:] != key[:-1]]
+    key = key[keep]
+    hs = key & np.uint64((1 << 31) - 1)
+    counts = np.bincount((key >> np.uint64(31)).astype(np.int64),
+                         minlength=n_docs).astype(np.int64)
+    return hs, counts
+
+
 class MinHasher:
     """MinHash signatures over character shingles. Permutation params
     are < 2^31 so ``(a*s + b) % (2^61-1)`` never overflows uint64 —
@@ -349,12 +386,11 @@ class MinHashStage:
         self.text_col = text_col
 
     def _batch_signatures(self, texts: list) -> np.ndarray:
-        """All signatures of a batch in one vectorized pass: concatenate
-        every text's shingle hashes, broadcast all permutations over the
-        flat array, then per-document min via ``np.minimum.reduceat``."""
-        shingles = [_shingle_hashes(t or "", self.mh.k) for t in texts]
-        lengths = np.array([max(len(s), 1) for s in shingles], dtype=np.int64)
-        flat = np.concatenate([s if len(s) else np.zeros(1, np.uint64) for s in shingles])
+        """All signatures of a batch in one vectorized pass: ONE flat
+        shingle computation for the whole batch (no per-doc Python
+        loop), broadcast all permutations over the flat array, then
+        per-document min via ``np.minimum.reduceat``."""
+        flat, lengths = _shingle_hashes_batch(texts, self.mh.k)
         offsets = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lengths[:-1], out=offsets[1:])
         sigs = np.empty((len(texts), self.mh.num_perm), dtype=np.uint64)
@@ -469,12 +505,10 @@ def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
     class Fingerprint:
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch.column("text").to_pylist()
-            fp = np.empty(len(texts), dtype=np.uint64)
-            cnt = np.empty(len(texts), dtype=np.int64)
-            for i, t in enumerate(texts):
-                sh = _shingle_hashes(t or "", 5)
-                fp[i] = sh.min() if len(sh) else 0
-                cnt[i] = len(sh)
+            flat, cnt = _shingle_hashes_batch(texts, 5)
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=offsets[1:])
+            fp = np.minimum.reduceat(flat, offsets) if len(flat) else np.zeros(0, np.uint64)
             return pa.table(
                 {"doc_id": batch.column("doc_id"),
                  "fingerprint": pa.array(fp, pa.uint64()),
@@ -576,21 +610,34 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
                                                  pa.uint64()))
 
     def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["slot"] == 0][["pair_id", "text"]].rename(columns={"text": "text_a"})
-        b = df[df["slot"] == 1][["pair_id", "text"]].rename(columns={"text": "text_b"})
+        """One pair-keyed group: shingle each UNIQUE doc once (a doc in
+        many candidate pairs — template spam — is the common case),
+        then exact Jaccard per pair from the cached sets."""
+        pair = df["pair_id"].to_numpy()
+        slot = df["slot"].to_numpy()
+        doc_key = np.where(slot == 0, pair >> np.int64(32),
+                           pair & np.int64(0xFFFFFFFF))
+        uniq, uidx, inv = np.unique(doc_key, return_index=True, return_inverse=True)
+        texts = df["text"].to_numpy()
+        flat, counts = _shingle_hashes_batch(list(texts[uidx]), 5)
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        shingles = [flat[offs[i]:offs[i + 1]] for i in range(len(counts))]
+        a = pd.DataFrame({"pair_id": pair[slot == 0], "ia": inv[slot == 0]})
+        b = pd.DataFrame({"pair_id": pair[slot == 1], "ib": inv[slot == 1]})
         m = a.merge(b, on="pair_id")
-        pair = m["pair_id"].to_numpy()
-        id_a = (pair >> np.int64(32)).astype(np.int64)
-        id_b = (pair & np.int64(0xFFFFFFFF)).astype(np.int64)
-        ta = m["text_a"].to_numpy()
-        tb = m["text_b"].to_numpy()
+        mp = m["pair_id"].to_numpy()
+        ia = m["ia"].to_numpy()
+        ib = m["ib"].to_numpy()
         jac = np.empty(len(m), dtype=np.float64)
         for i in range(len(m)):
-            jac[i] = _jaccard_from_sorted(_shingle_hashes(ta[i], 5),
-                                          _shingle_hashes(tb[i], 5))
+            jac[i] = _jaccard_from_sorted(shingles[ia[i]], shingles[ib[i]])
         keep = jac >= tau
-        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep],
-                             "jaccard": np.round(jac[keep], 6)})
+        return pd.DataFrame({
+            "id_a": (mp[keep] >> np.int64(32)).astype(np.int64),
+            "id_b": (mp[keep] & np.int64(0xFFFFFFFF)).astype(np.int64),
+            "jaccard": np.round(jac[keep], 6),
+        })
 
     u = docs.map_batches(doc_side, batch_format="pyarrow").union(
         cand.map_batches(requests, batch_format="pyarrow"))
