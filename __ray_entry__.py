@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.q_quality_score,
         "langid": textops.q_langid,
         "lang_token_stats": textops.q_lang_token_stats,
+        "token_dedup_stats": textops.q_token_dedup_stats,
+        "token_percentiles": textops.q_token_percentiles,
         "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
@@ -123,7 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.ann import dedup_clusters_oracle_sql
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
-    from vyperdatum_ray.pipelines.textops import (langid_oracle_sql,
+    from vyperdatum_ray.pipelines.textops import (TOKEN_DEDUP_ORACLE,
+                                                  TOKEN_PERCENTILES_ORACLE,
+                                                  langid_oracle_sql,
                                                   lang_token_stats_oracle_sql)
     from vyperdatum_ray import oracle
 
@@ -192,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": langid_oracle_sql(),
         "lang_token_stats": lang_token_stats_oracle_sql(),
+        "token_dedup_stats": TOKEN_DEDUP_ORACLE,
+        "token_percentiles": TOKEN_PERCENTILES_ORACLE,
         "dedup_clusters_embedding": dedup_clusters_oracle_sql(),
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "

@@ -174,6 +174,121 @@ def q_langid(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_token_dedup_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per document: token
+    count, distinct-token count, and the most-repeated token's count
+    (high duplicate-token fraction flags boilerplate/spam). Fully
+    vectorized: one flat token array per batch, xxhash, one
+    (doc, hash)-sorted pass for per-doc distinct + run lengths."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.coalesce(col, ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(counts)
+        doc_of_all = np.repeat(np.arange(n, dtype=np.int64), counts)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        ds_ = doc_of_all[nonempty]
+        n_tokens = np.bincount(ds_, minlength=n).astype(np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        max_count = np.zeros(n, dtype=np.int64)
+        if nonempty.any():
+            hs = _hash_utf8_fast(pc.filter(flat, pa.array(nonempty)))
+            order = np.lexsort((hs, ds_))
+            hs, ds_ = hs[order], ds_[order]
+            starts = np.flatnonzero(np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+            run_doc = ds_[starts]
+            run_len = np.diff(np.r_[starts, len(ds_)])
+            n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+            docs_with = np.flatnonzero(n_distinct > 0)
+            offs = np.searchsorted(run_doc, docs_with)
+            max_count[docs_with] = np.maximum.reduceat(run_len, offs)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "max_count": pa.array(max_count, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+TOKEN_DEDUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_count
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_distinct, 0) AS n_distinct,
+  COALESCE(a.max_count, 0) AS max_count
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+PCTS = (25, 50, 75, 90, 99)
+
+
+def q_token_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus token-count percentiles via bounded histogram
+    partials (the region_median trick): token counts are small ints, so
+    per-batch bincounts + a tiny groupby-sum move (value, count) rows
+    only — never the data; order statistics come off the cumulative
+    histogram. Midpoint convention: average of the floor/ceil rank
+    values (same expression in the SQL oracle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(n_tok, return_counts=True)
+        return pa.table({"val": pa.array(vals, pa.int64()),
+                         "p_n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    hist = (
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+        .groupby("val").aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas().sort_values("val")
+    )
+    vals = hist["val"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for p in PCTS:
+        lo = int(np.floor(p / 100.0 * (n - 1)))
+        hi = int(np.ceil(p / 100.0 * (n - 1)))
+        vlo = vals[np.searchsorted(cum, lo + 1)]
+        vhi = vals[np.searchsorted(cum, hi + 1)]
+        rows.append({"pct": p, "value": (vlo + vhi) / 2.0})
+    return pd.DataFrame(rows)
+
+
+TOKEN_PERCENTILES_ORACLE = r"""
+WITH tc AS (
+  SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rn,
+    count(*) OVER () AS n
+  FROM tc
+),
+ps AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) p(pct))
+SELECT CAST(pct AS BIGINT) AS pct,
+  (max(CASE WHEN rn = CAST(floor(pct / 100.0 * (n - 1)) AS BIGINT) + 1 THEN n_tok END)
+   + max(CASE WHEN rn = CAST(ceil(pct / 100.0 * (n - 1)) AS BIGINT) + 1 THEN n_tok END)) / 2.0 AS value
+FROM ranked CROSS JOIN ps GROUP BY pct"""
+
+
 def q_lang_token_stats(sf_dir: str) -> ray.data.Dataset:
     """Composition op: corpus token volume per PREDICTED language (the
     shape of a per-language training-data budget report). One fused
