@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
+        "top_hosts": textops.q_top_hosts,
         "ann_topk": ann.q_ann_topk,
         "neardup_embedding": ann.q_neardup_embedding,
         "html_extract": multimodal.q_html_extract,
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_jaccard": textops.q_neardup_jaccard,
         "simhash_neardup": textops.q_simhash_neardup,
         "approx_distinct_hosts": textops.q_approx_distinct_hosts,
+        "top_hosts_sketch": textops.q_top_hosts_sketch,
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding_lsh": ann.q_neardup_embedding_lsh,
         "multimodal_decode": multimodal.q_multimodal_decode,
@@ -202,6 +204,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "
             "AS n_hosts FROM read_parquet('{fx}/pages/*.parquet')".format(fx=fx)
+        ),
+        "top_hosts": (
+            f"SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host, "
+            f"count(*) AS n_pages FROM read_parquet('{fx}/pages/*.parquet') "
+            f"GROUP BY host ORDER BY n_pages DESC, host LIMIT 20"
         ),
         "html_stats": (
             f"SELECT url, CAST(octet_length(html) AS BIGINT) AS html_bytes "

@@ -204,3 +204,18 @@ def test_shingle_batch_matches_per_doc():
     mh = MinHasher()
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(sigs[i], mh.signature(t))
+
+
+def test_top_hosts_sketch_matches_exact(ray_session):
+    """Count-min guarantees: estimates never undercount, and at this
+    host cardinality (97 << width) the top-k should match exact."""
+    from vyperdatum_ray.pipelines.textops import q_top_hosts, q_top_hosts_sketch
+
+    exact = q_top_hosts(SF, k=200).to_pandas()  # all 97 hosts
+    sk = q_top_hosts_sketch(SF)
+    true = exact.set_index("host")["n_pages"]
+    est = sk.set_index("host")["n_pages_est"]
+    # CM never undercounts, and with width >> cardinality the error is
+    # bounded by a couple of collisions
+    assert (est.to_numpy() >= true[est.index].to_numpy()).all()
+    assert (est.to_numpy() <= true[est.index].to_numpy() + 3 * true.max()).all()

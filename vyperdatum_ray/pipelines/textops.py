@@ -861,6 +861,83 @@ def q_approx_distinct_hosts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([{"n_hosts_approx": int(round(est))}])
 
 
+def q_top_hosts(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Exact heavy hitters: page count per url host, top-k with a
+    deterministic (count desc, host) tie-break. Per-batch partial
+    counts -> small groupby-sum -> sort + limit."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = _host_of(batch.column("url"))
+        vc = hosts.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"host": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("host").aggregate(
+        Sum("p_n", alias_name="n_pages"))
+    return out.sort(["n_pages", "host"], descending=[True, False]).limit(k)
+
+
+CM_DEPTH = 4
+CM_WIDTH = 2048
+
+
+def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Count-min-sketch heavy hitters: each batch emits (a) sketch-cell
+    partials — CM_DEPTH x CM_WIDTH bounded rows regardless of input
+    size — and (b) its local top-k candidate hosts. Cells merge with a
+    groupby-sum; candidates dedupe small; final estimates = min over
+    the candidate's CM_DEPTH cells. Overestimates only (CM guarantee);
+    rows-only check, accuracy asserted in tests vs the exact op."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    # independent odd multipliers per row (multiples of ONE constant are
+    # correlated: a pair colliding in row 0 collides everywhere)
+    rng = np.random.default_rng(5)
+    seeds = (rng.integers(1, 1 << 62, CM_DEPTH, dtype=np.int64).astype(np.uint64)
+             << np.uint64(1)) | np.uint64(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = _host_of(batch.column("url"))
+        vc = hosts.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        names = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash_utf8_fast(names)
+        rows = []
+        for d in range(CM_DEPTH):
+            col = ((h * seeds[d]) >> np.uint64(64 - 11)) % np.uint64(CM_WIDTH)
+            df = pd.DataFrame({"cell": d * CM_WIDTH + col.astype(np.int64), "p_n": cnts})
+            rows.append(df.groupby("cell", as_index=False).agg(p_n=("p_n", "sum")))
+        cells = pd.concat(rows)
+        cells["host"] = ""
+        # local candidate top-k rides along with cell = -1
+        order = np.argsort(-cnts, kind="stable")[:k]
+        cand = pd.DataFrame({"cell": np.full(len(order), -1, np.int64),
+                             "p_n": cnts[order],
+                             "host": np.asarray(names)[order]})
+        return pa.Table.from_pandas(pd.concat([cells, cand]), preserve_index=False)
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cells = parts[parts["cell"] >= 0].groupby("cell")["p_n"].sum()
+    sketch = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
+    sketch[cells.index.to_numpy()] = cells.to_numpy()
+    cand_hosts = parts.loc[parts["cell"] < 0, "host"].unique()
+    h = _hash_utf8_fast(pa.array(list(cand_hosts), pa.string()))
+    est = np.full(len(cand_hosts), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CM_DEPTH):
+        col = ((h * seeds[d]) >> np.uint64(64 - 11)) % np.uint64(CM_WIDTH)
+        est = np.minimum(est, sketch[d * CM_WIDTH + col.astype(np.int64)])
+    out = pd.DataFrame({"host": cand_hosts, "n_pages_est": est})
+    out = out.sort_values(["n_pages_est", "host"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 def q_token_freq(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     """Corpus token frequency, top-k: per-batch vectorized token counts
     (the combiner — the shuffle moves (token, count) partials, never
