@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- flagship geospatial surface (SURVEY.md §2.2-2.5) ---
         "geocode": q.q_geocode,
-        "tile_assign": q.q_tile_assign,
         "tile_counts": q.q_tile_counts,
         "extent": q.q_extent,
         "region_join": q.q_region_join,
@@ -62,7 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
-        "knn_grid_nodes": q.q_knn_grid_nodes,
         "gridded_points": q.q_gridded_points,
         "sampled_transform": q.q_sampled_transform,
         # --- raster path (M7/M8, J1/J3, A2, O5) ---
@@ -87,9 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data operators (oracle-backed) ---
         "dedup_exact": textops.q_dedup_exact,
         "dedup_normalized": textops.q_dedup_normalized,
-        "token_count": textops.q_token_count,
         "token_freq": textops.q_token_freq,
-        "quality_filter": textops.q_quality_filter,
         "quality_score": textops.q_quality_score,
         "langid": textops.q_langid,
         "lang_token_stats": textops.q_lang_token_stats,
@@ -102,9 +98,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.q_ann_topk,
         "neardup_embedding": ann.q_neardup_embedding,
         "html_extract": multimodal.q_html_extract,
-        # text_passthrough last of the oracle-backed block: byte-identity
-        # is ALSO enforced by tests/test_flagship_semantics.py, so it is
-        # the cheapest entry to lose if the driver cuts off at 50
+        # Tail of the oracle-backed block: entries whose semantics are
+        # REDUNDANTLY covered by an adjudicated sibling or by tests, so
+        # they are the cheapest to lose if the driver stops at 50
+        # (tile_counts covers tile_assign, knn_grid_node covers _nodes,
+        # quality_score covers quality_filter, token_dedup_stats covers
+        # token_count, tests byte-check text_passthrough).
+        "tile_assign": q.q_tile_assign,
+        "knn_grid_nodes": q.q_knn_grid_nodes,
+        "quality_filter": textops.q_quality_filter,
+        "token_count": textops.q_token_count,
         "text_passthrough": q.q_text_passthrough,
         # --- rows-only queries (engine-defined outputs: cell math,
         # sketches, approximate indexes, deterministic decode fakes) ---
