@@ -2,12 +2,13 @@
 audio / video payloads) as opaque binary columns processed by actor-pool
 ``map_batches`` stages.
 
-The real decoders (PIL / libsndfile / ffmpeg) are NOT in this container,
-so the decode kernel is a clearly-marked deterministic fake
+The compressed-format decoders (PIL / libsndfile / ffmpeg) are NOT in
+this container, so those kernels are clearly-marked deterministic fakes
 (``FakeDecoder.decode``) — the Ray-side plumbing (schema, small batch
 size for wide binary rows, actor signature, fixed-width feature output
-layout) is real and tested. Swap ``decode`` for a real decoder to get a
-production image featurizer.
+layout) is real and tested. ``decode_ppm`` / ``resize_bilinear`` below
+ARE real: a from-scratch binary P6 PPM decoder and resampler in pure
+numpy, so uncompressed-image payloads take a genuine decode path.
 """
 
 from __future__ import annotations
@@ -19,6 +20,61 @@ import ray
 import ray.data
 
 FEATURE_DIM = 8
+
+
+def decode_ppm(buf: bytes) -> np.ndarray | None:
+    """REAL decoder for binary P6 PPM (the uncompressed RGB format):
+    header 'P6 <w> <h> <maxval>' with whitespace/comments, then raw
+    RGB bytes. Returns an (h, w, 3) uint8 array, or None when the
+    payload is not a (complete, maxval<=255) P6 image."""
+    if not buf or not buf.startswith(b"P6"):
+        return None
+    pos = 2
+    fields = []
+    while len(fields) < 3 and pos < len(buf):
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return None
+        try:
+            fields.append(int(buf[start:pos]))
+        except ValueError:
+            return None
+    if len(fields) < 3 or pos >= len(buf):
+        return None
+    w, h, maxval = fields
+    pos += 1  # single whitespace after maxval
+    if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+        return None
+    need = w * h * 3
+    if len(buf) - pos < need:
+        return None
+    return np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL bilinear resampler (align-corners=False convention), pure
+    numpy — the resize stage of an image-featurize pipeline."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
+    bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
 
 
 class FakeDecoder:
@@ -43,6 +99,13 @@ class FakeDecoder:
         feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
         for i, buf in enumerate(payloads):
             if not buf:
+                continue
+            img = decode_ppm(buf)
+            if img is not None:
+                # REAL path: PPM decode -> bilinear 2 x FEATURE_DIM/2
+                # thumbnail -> channel-mean grid as the feature vector
+                thumb = resize_bilinear(img, 2, FEATURE_DIM // 2)
+                feats[i] = (thumb.mean(axis=2) / 255.0).reshape(-1)
                 continue
             b = np.frombuffer(buf, dtype=np.uint8)
             hist = np.bincount(b >> 5, minlength=FEATURE_DIM)[:FEATURE_DIM]
