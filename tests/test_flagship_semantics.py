@@ -100,3 +100,24 @@ def test_itrf_region_frame_hop_changes_answer(out):
     for s in steps:
         z = z + s.sign * cat.grids[s.grid_key].interpolate(hlon, hlat)[0]
     assert np.round(-z, 3) == row["z_out"]
+
+
+def test_tif_fallback_active_in_transformer():
+    """The .tif extension fallback must apply where steps are BUILT
+    (DatumTransformer / raster), not only in the validator: a catalog
+    whose tss grid exists only under the .tif key still transforms."""
+    import dataclasses
+
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.stages.transform import DatumTransformer
+
+    cat = Catalog.from_dir(ensure_fixtures(SF)["catalog_dir"])
+    grids2 = dict(cat.grids)
+    grids2["SYNcoastA_8301/tss.tif"] = grids2.pop("SYNcoastA_8301/tss")
+    cat2 = dataclasses.replace(cat, grids=grids2, _tree=None)
+    dt = DatumTransformer(catalog_ref=cat2)
+    assert dt.region_steps[0] is not None  # resolved via the .tif fallback
+    dt_orig = DatumTransformer(catalog_ref=cat)
+    # same grid object -> identical steps either way
+    assert [g for g, _ in dt.region_steps[0]] == [g for g, _ in dt_orig.region_steps[0]]

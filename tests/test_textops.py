@@ -219,3 +219,28 @@ def test_top_hosts_sketch_matches_exact(ray_session):
     # bounded by a couple of collisions
     assert (est.to_numpy() >= true[est.index].to_numpy()).all()
     assert (est.to_numpy() <= true[est.index].to_numpy() + 3 * true.max()).all()
+
+
+def test_neardup_embedding_exact_with_shuffled_ids(ray_session, tmp_path):
+    """Cross-block pairs must survive when vec_ids are NOT ascending
+    across blocks (Ray gives no block-order guarantee): regression for
+    the off-diagonal a<b filter dropping pairs."""
+    import pyarrow.parquet as pq_mod
+
+    from vyperdatum_ray.pipelines.ann import q_neardup_embedding
+
+    t = pq_mod.read_table(f"{SF}/embeddings.parquet")
+    rng = np.random.default_rng(9)
+    perm = rng.permutation(t.num_rows)
+    pq_mod.write_table(t.take(perm), str(tmp_path / "embeddings.parquet"))
+    out = q_neardup_embedding(str(tmp_path), tau=0.4, n_blocks=4).to_pandas()
+    df = t.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    sims = m @ m.T
+    ai, bi = np.nonzero(sims >= 0.4)
+    expect = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+              for i, j in zip(ai, bi) if ids[i] != ids[j]}
+    got = set(zip(out["vec_id_a"].astype(int), out["vec_id_b"].astype(int)))
+    assert got == expect

@@ -69,27 +69,33 @@ geo AS (
 )"""
 
 
-def _memb_cte(fx: str) -> str:
+def _memb_cte(fx: str, geo_name: str = "geo") -> str:
     """CTE `memb`: (url, region, region_ord) for every containing convex
     region — all half-planes satisfied."""
     return f"""
 edges AS (SELECT * FROM read_parquet('{fx}/region_edges.parquet')),
 memb AS (
   SELECT g.url, e.region, e.region_ord
-  FROM geo g CROSS JOIN edges e
+  FROM {geo_name} g CROSS JOIN edges e
   GROUP BY g.url, g.lat, g.lon, e.region, e.region_ord
   HAVING max(e.ax * g.lon + e.ay * g.lat - e.b) <= 0
 )"""
 
 
 def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
-                    from_navd88: bool = False) -> str:
+                    from_navd88: bool = False, geo_name: str = "geo",
+                    z_col: str | None = None, with_zwin: bool = True) -> str:
     """CTEs computing per-(point, region) z for the ellipse-><target>
     pipeline (geoid forward, tss inverse, <target> forward) — or its
     inverse (<target> -> ellipse: reversed steps, signs toggled, height
     output, zero uncertainty), or the 2-step navd88-><target> (the
     common geoid prefix cancels, pipeline.py:116-142) — plus composed
-    uncertainty and grid-coverage validity."""
+    uncertainty and grid-coverage validity.
+
+    ``z_col`` names an input-z column on ``geo_name`` (default: z = 0);
+    it threads through the frame hop and out of ``zr`` so callers with
+    ``with_zwin=False`` can build their own winner CTE (the ITRF
+    z-correction query does)."""
     if from_navd88:
         z_expr = f"-((z.sz + z.g_tss) - z.g_{target})"
         unc_expr = f"s.tss + s.{target}"  # no geoid sigma: input not ellipse
@@ -105,22 +111,24 @@ def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
         unc_expr = f"gs.sigma + s.tss + s.{target}"
         surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
         geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
-    return f"""
+    z_sel = f"g.{z_col} AS z_in" if z_col else "0.0 AS z_in"
+    core = f"""
 rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
 gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
 gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
 sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
 gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
 tr0 AS (
-  SELECT m.url, m.region, m.region_ord, g.lat, g.lon, rc.geoid_name, rc.geoid_frame
+  SELECT m.url, m.region, m.region_ord, g.lat, g.lon, {z_sel},
+         rc.geoid_name, rc.geoid_frame
   FROM memb m
   JOIN rcat rc ON rc.region = m.region
-  JOIN geo g ON g.url = m.url
+  JOIN {geo_name} g ON g.url = m.url
 ),
-{sql_hop_ctes("t", "tr0", "lon", "lat", "0.0", "geoid_frame",
-              "url, region, region_ord, lat, lon, geoid_name")},
+{sql_hop_ctes("t", "tr0", "lon", "lat", "z_in", "geoid_frame",
+              "url, region, region_ord, lat, lon, z_in, geoid_name")},
 tr AS (
-  SELECT url, region, region_ord, lat, lon, geoid_name,
+  SELECT url, region, region_ord, lat, lon, z_in, geoid_name,
          hlon AS slon, hlat AS slat, hz AS sz
   FROM thop
 ),
@@ -133,7 +141,7 @@ samp AS (
 ),
 sampq AS (
   SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
-    samp.grid_key, samp.sz, gm.nx, gm.ny,
+    samp.grid_key, samp.sz, samp.z_in, gm.nx, gm.ny,
     (samp.slon - gm.origin_x) / gm.dx AS gx,
     (samp.slat - gm.origin_y) / gm.dy AS gy,
     CAST(LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
@@ -145,7 +153,7 @@ sampq AS (
   FROM samp JOIN gmeta gm ON gm.grid_key = samp.grid_key
 ),
 interp AS (
-  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn, q.sz,
+  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn, q.sz, q.z_in,
     (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
       + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
     (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
@@ -157,14 +165,17 @@ interp AS (
   LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
 ),
 zr AS (
-  SELECT url, region, region_ord, max(sz) AS sz,
+  SELECT url, region, region_ord, max(sz) AS sz, max(z_in) AS z_in,
     {geoid_sel}
     max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
     max(CASE WHEN surface = '{target}' THEN val END) AS g_{target},
     bool_and(ok) AS ok_all
   FROM interp
   GROUP BY url, region, region_ord
-),
+)"""
+    if not with_zwin:
+        return core
+    return core + f""",
 zwin AS (
   SELECT z.url, z.region, z.region_ord,
     {_r3(z_expr)} AS z_out,
@@ -440,77 +451,20 @@ WHERE w.rn = 1"""
 
 def q_datum_transform_itrf(fx: str) -> str:
     """Mirror of queries.q_datum_transform_itrf: synthesized z, geoid
-    frame hop feeding the grid pipeline, and the out-frame (ITRF2014)
-    hop supplying both the output xy and the diffz of the reference's
+    frame hop feeding the grid pipeline (via the z-threaded
+    _transform_ctes core), and the out-frame (ITRF2014) hop supplying
+    both the output xy and the diffz of the reference's
     ``new_z - (z - diffz)`` correction for NAD83-framed regions."""
     zexpr_pre = "(((z.sz - z.g_geoid) + z.g_tss) - z.g_mllw)"
-    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)},
-rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
-gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
-gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
-sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
-gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+    return f"""WITH {_geo_cte(fx)},
 geoz AS (
   SELECT url, lat, lon, {_r3("(lat - 35.0) * 2.0 + (lon + 75.0)")} AS z_in
   FROM geo
 ),
 oo0 AS (SELECT url, lat, lon, z_in, 'ITRF2014' AS out_frame FROM geoz),
 {sql_hop_ctes("o", "oo0", "lon", "lat", "z_in", "out_frame", "url")},
-tr0 AS (
-  SELECT m.url, m.region, m.region_ord, g.lat, g.lon, g.z_in,
-         rc.geoid_name, rc.geoid_frame
-  FROM memb m
-  JOIN rcat rc ON rc.region = m.region
-  JOIN geoz g ON g.url = m.url
-),
-{sql_hop_ctes("t", "tr0", "lon", "lat", "z_in", "geoid_frame",
-              "url, region, region_ord, lat, lon, z_in, geoid_name")},
-tr AS (
-  SELECT url, region, region_ord, lat, lon, z_in, geoid_name,
-         hlon AS slon, hlat AS slat, hz AS sz
-  FROM thop
-),
-samp AS (
-  SELECT t.*, s.surface, s.sgn,
-    CASE WHEN s.surface = 'geoid' THEN t.geoid_name
-         ELSE t.region || '/' || s.surface END AS grid_key
-  FROM tr t
-  CROSS JOIN (VALUES ('geoid', -1.0), ('tss', 1.0), ('mllw', -1.0)) AS s(surface, sgn)
-),
-sampq AS (
-  SELECT samp.url, samp.region, samp.region_ord, samp.surface, samp.sgn,
-    samp.grid_key, samp.sz, samp.z_in, gm.nx, gm.ny,
-    (samp.slon - gm.origin_x) / gm.dx AS gx,
-    (samp.slat - gm.origin_y) / gm.dy AS gy,
-    CAST(LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS BIGINT) AS ix0,
-    CAST(LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS BIGINT) AS iy0,
-    (samp.slon - gm.origin_x) / gm.dx
-      - LEAST(GREATEST(floor((samp.slon - gm.origin_x) / gm.dx), 0), gm.nx - 2) AS fx,
-    (samp.slat - gm.origin_y) / gm.dy
-      - LEAST(GREATEST(floor((samp.slat - gm.origin_y) / gm.dy), 0), gm.ny - 2) AS fy
-  FROM samp JOIN gmeta gm ON gm.grid_key = samp.grid_key
-),
-interp AS (
-  SELECT q.url, q.region, q.region_ord, q.surface, q.sgn, q.sz, q.z_in,
-    (1 - q.fx) * (1 - q.fy) * a.v + q.fx * (1 - q.fy) * b.v
-      + (1 - q.fx) * q.fy * c.v + q.fx * q.fy * d.v AS val,
-    (a.v IS NOT NULL AND b.v IS NOT NULL AND c.v IS NOT NULL AND d.v IS NOT NULL
-     AND q.gx >= 0 AND q.gx <= q.nx - 1 AND q.gy >= 0 AND q.gy <= q.ny - 1) AS ok
-  FROM sampq q
-  LEFT JOIN gvals a ON a.grid_key = q.grid_key AND a.ix = q.ix0 AND a.iy = q.iy0
-  LEFT JOIN gvals b ON b.grid_key = q.grid_key AND b.ix = q.ix0 + 1 AND b.iy = q.iy0
-  LEFT JOIN gvals c ON c.grid_key = q.grid_key AND c.ix = q.ix0 AND c.iy = q.iy0 + 1
-  LEFT JOIN gvals d ON d.grid_key = q.grid_key AND d.ix = q.ix0 + 1 AND d.iy = q.iy0 + 1
-),
-zr AS (
-  SELECT url, region, region_ord, max(sz) AS sz, max(z_in) AS z_in,
-    max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,
-    max(CASE WHEN surface = 'tss' THEN val END) AS g_tss,
-    max(CASE WHEN surface = 'mllw' THEN val END) AS g_mllw,
-    bool_and(ok) AS ok_all
-  FROM interp
-  GROUP BY url, region, region_ord
-),
+{_memb_cte(fx, geo_name="geoz")},
+{_transform_ctes(fx, geo_name="geoz", z_col="z_in", with_zwin=False)},
 zwin AS (
   SELECT z.url, z.region, z.region_ord,
     {_r3(f"CASE WHEN rc.geoid_frame = 'ITRF2014' THEN -({zexpr_pre}) "

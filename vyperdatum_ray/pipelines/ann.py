@@ -211,7 +211,15 @@ class BlockPairScorer:
             sims = mi @ mj.T
             ai, aj = np.nonzero(sims >= self.tau)
             a, b = ids_i[ai], ids_j[aj]
-            keep = a < b
+            if bi == bj:
+                keep = a < b  # diagonal: each unordered pair appears twice
+            else:
+                # off-diagonal: each cross-block pair appears exactly once
+                # and ids need NOT be ascending across blocks (Ray does
+                # not guarantee block order) — emit (min, max), drop only
+                # self-pairs
+                keep = a != b
+                a, b = np.minimum(a, b), np.maximum(a, b)
             a_out.append(a[keep])
             b_out.append(b[keep])
         return pa.table({
@@ -313,7 +321,8 @@ SELECT id AS vec_id, min(root) AS cluster_id,
 FROM walk GROUP BY id"""
 
 
-N_PLANES = 64  # LSH hyperplanes -> 64-bit sign codes
+EMB_DIM = 64  # embeddings table vector width
+N_PLANES = 64  # LSH hyperplanes -> 64-bit sign codes (independent of EMB_DIM)
 N_LSH_BANDS = 16  # band the code into 16x4 bits
 LSH_BUCKET_GUARD = 1024  # max members per (band, bucket) scored
 
@@ -331,7 +340,7 @@ def q_neardup_embedding_lsh(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
     Approximate by design (rows-only; recall vs the exact block-pair
     join asserted in tests)."""
     rng = np.random.default_rng(23)
-    planes = rng.normal(size=(64, N_PLANES))
+    planes = rng.normal(size=(EMB_DIM, N_PLANES))
     planes_ref = ray.put(planes)
     bits_per_band = N_PLANES // N_LSH_BANDS
     mask = np.uint64((1 << bits_per_band) - 1)
@@ -357,7 +366,7 @@ def q_neardup_embedding_lsh(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
                 "bucket": pa.array(vals, pa.uint64()),
                 "id": pa.array(np.repeat(ids, N_LSH_BANDS), pa.int64()),
                 "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(emb.reshape(-1), pa.float64()), 64),
+                    pa.array(emb.reshape(-1), pa.float64()), EMB_DIM),
             })
 
     def score_group(df: pd.DataFrame) -> pd.DataFrame:

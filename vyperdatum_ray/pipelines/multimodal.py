@@ -56,7 +56,11 @@ def decode_ppm(buf: bytes) -> np.ndarray | None:
     need = w * h * 3
     if len(buf) - pos < need:
         return None
-    return np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    img = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    if maxval != 255:  # legal low-maxval P6: rescale samples to 0..255
+        img = np.clip(np.rint(img.astype(np.float64) * (255.0 / maxval)),
+                      0, 255).astype(np.uint8)
+    return img
 
 
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -85,11 +85,15 @@ class _RegionalSep:
             if pipeline is None:  # same-datum null transform -> zero sep
                 self.steps.append([])
             else:
+                from vyperdatum_ray.core.pipeline_algebra import resolve_grid_key
+
                 parsed = parse_pipeline(pipeline)
-                if any(s.grid_key not in catalog.grids for s in parsed):
+                resolved = [(resolve_grid_key(s.grid_key, catalog.grids), s.sign)
+                            for s in parsed]
+                if any(k is None for k, _ in resolved):
                     self.steps.append(None)  # invalid pipeline: region skipped
                 else:
-                    self.steps.append([(catalog.grids[s.grid_key], s.sign) for s in parsed])
+                    self.steps.append([(catalog.grids[k], sign) for k, sign in resolved])
             self.unc.append(
                 compose_uncertainty(from_datum, to_datum,
                                     catalog.sigmas.get(r.name, {}),

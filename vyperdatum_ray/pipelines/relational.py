@@ -299,6 +299,8 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
     cutoff_scalar = pa.scalar(cutoff, type=pa.timestamp("us"))
 
     def _member_sorted(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+        if len(sorted_set) == 0:
+            return np.zeros(len(keys), dtype=bool)
         pos = np.searchsorted(sorted_set, keys)
         pos_c = np.minimum(pos, len(sorted_set) - 1)
         return (pos < len(sorted_set)) & (sorted_set[pos_c] == keys)

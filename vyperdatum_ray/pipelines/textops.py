@@ -315,20 +315,7 @@ def q_lang_token_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def lang_token_stats_oracle_sql() -> str:
-    langs = sorted(_LANG_STOPWORDS, reverse=True)
-    score_cols = []
-    for l in langs:
-        words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[l])
-        score_cols.append(
-            f"CAST(len(list_filter(t, x -> x IN ({words}))) AS BIGINT) AS s_{l}"
-        )
-    tot = " + ".join(f"s_{l}" for l in langs)
-    pred_cases = []
-    for i, l in enumerate(langs[:-1]):
-        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:])
-        pred_cases.append(f"WHEN {conds} THEN '{l}'")
-    pred = (f"CASE WHEN {tot} = 0 THEN 'und' "
-            + " ".join(pred_cases) + f" ELSE '{langs[-1]}' END")
+    score_cols, tot, pred, langs = _langid_sql_parts()
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t,
@@ -341,10 +328,10 @@ SELECT {pred} AS lang_pred, count(*) AS n_docs,
 FROM sc GROUP BY lang_pred"""
 
 
-def langid_oracle_sql() -> str:
-    """DuckDB mirror of LangId: same tokenization ([a-z']+ runs of the
-    lowered text), same per-lang stopword counts, same descending-name
-    tie-break, same raw double division for confidence."""
+def _langid_sql_parts() -> tuple[list[str], str, str, list[str]]:
+    """Shared SQL fragments for the LangId mirror: per-lang stopword
+    score columns, total, and the descending-name tie-break CASE —
+    built ONCE so every oracle using the prediction agrees."""
     langs = sorted(_LANG_STOPWORDS, reverse=True)
     score_cols = []
     for l in langs:
@@ -359,6 +346,14 @@ def langid_oracle_sql() -> str:
         pred_cases.append(f"WHEN {conds} THEN '{l}'")
     pred = (f"CASE WHEN {tot} = 0 THEN 'und' "
             + " ".join(pred_cases) + f" ELSE '{langs[-1]}' END")
+    return score_cols, tot, pred, langs
+
+
+def langid_oracle_sql() -> str:
+    """DuckDB mirror of LangId: same tokenization ([a-z']+ runs of the
+    lowered text), same per-lang stopword counts, same descending-name
+    tie-break, same raw double division for confidence."""
+    score_cols, tot, pred, langs = _langid_sql_parts()
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     return f"""
 WITH toks AS (
@@ -667,13 +662,26 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     repartition join expressed as union + bounded-salt groupby (both
     pair SIDES fetch their text in ONE doc-keyed exchange, then pairs
     reassemble in a second pair-keyed exchange) — no whole-corpus
-    broadcast, no driver materialization, every stage streams. The
+    broadcast: only the CANDIDATE id set (bounded by LSH output, not
+    corpus size) is collected and broadcast to pre-filter the doc
+    stream, so non-candidate texts never enter the shuffle. The
     groupby form deliberately avoids ``Dataset.join``: its per-join
     aggregator-actor pool starves/deadlocks the 2-joins-in-one-DAG
     shape at small CPU counts."""
-    cand = q_minhash_pairs(sf_dir)
+    cand = q_minhash_pairs(sf_dir).materialize()  # bounded candidate pairs
     docs = _docs(sf_dir, ["doc_id", "text"])
     ksalt = np.uint64(k_salt)
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        both = pa.chunked_array([t.column("id_a"), t.column("id_b")]).combine_chunks()
+        return pa.table({"id": pc.unique(both)})
+
+    # collect ONLY the candidate id set (bounded by LSH output) and
+    # broadcast it to pre-filter the doc stream
+    cand_ids = np.unique(
+        cand.map_batches(id_partial, batch_format="pyarrow").to_pandas()["id"].to_numpy()
+    ).astype(np.int64)
+    cand_ids_ref = ray.put(cand_ids)
 
     def requests(t: pa.Table) -> pa.Table:
         """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
@@ -689,14 +697,30 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
             "text": pa.array([None] * (2 * n), pa.string()),
         })
 
-    def doc_side(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "key": pa.array(t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
-            "pair_id": pa.array(np.full(n, -1, np.int64)),
-            "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
-            "text": t.column("text"),
-        })
+    class DocSide:
+        """Doc rows filtered to the broadcast candidate-id set: texts
+        of docs in no candidate pair never enter the shuffle."""
+
+        def __init__(self, ref):
+            self.cand_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(self.cand_ids):
+                pos = np.searchsorted(self.cand_ids, ids)
+                pos_c = np.minimum(pos, len(self.cand_ids) - 1)
+                keep = (pos < len(self.cand_ids)) & (self.cand_ids[pos_c] == ids)
+            else:
+                keep = np.zeros(len(ids), dtype=bool)
+            t = t.filter(pa.array(keep))
+            n = t.num_rows
+            return pa.table({
+                "key": pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
+                "pair_id": pa.array(np.full(n, -1, np.int64)),
+                "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "text": t.column("text"),
+            })
 
     def add_key_salt(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -754,8 +778,10 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
             "jaccard": np.round(jac[keep], 6),
         })
 
-    u = docs.map_batches(doc_side, batch_format="pyarrow").union(
-        cand.map_batches(requests, batch_format="pyarrow"))
+    u = docs.map_batches(
+        DocSide, fn_constructor_kwargs={"ref": cand_ids_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    ).union(cand.map_batches(requests, batch_format="pyarrow"))
     u = u.map_batches(add_key_salt, batch_format="pyarrow")
     resolved = u.groupby("salt").map_groups(resolve_texts, batch_format="pandas")
     resolved = resolved.map_batches(add_pair_salt, batch_format="pyarrow")

@@ -73,17 +73,21 @@ class DatumTransformer:
         self.region_steps = []
         self.region_unc = []
         self.region_frames = []
+        from vyperdatum_ray.core.pipeline_algebra import resolve_grid_key
+
         for r in self.catalog.regions:
             pipeline = get_regional_pipeline(from_datum, to_datum, r.name, r.geoid_name)
             steps = parse_pipeline(pipeline)
-            missing = [s for s in steps if s.grid_key not in self.catalog.grids]
-            if missing:
-                # invalid pipeline -> region skipped entirely
-                # (reference core.py:430-433)
+            # resolve each grid key with the .tif extension fallback
+            # (vypercrs.py:1044-1092); an unresolvable grid invalidates
+            # the pipeline -> region skipped entirely (core.py:430-433)
+            resolved = [(resolve_grid_key(s.grid_key, self.catalog.grids), s.sign)
+                        for s in steps]
+            if any(k is None for k, _ in resolved):
                 self.region_steps.append(None)
             else:
                 self.region_steps.append(
-                    [(self.catalog.grids[s.grid_key], s.sign) for s in steps]
+                    [(self.catalog.grids[k], sign) for k, sign in resolved]
                 )
             self.region_unc.append(
                 compose_uncertainty(
