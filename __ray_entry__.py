@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_grid_node": q.q_knn_grid_node,
         "gridded_points": q.q_gridded_points,
         "sampled_transform": q.q_sampled_transform,
+        "csv_roundtrip": q.q_csv_roundtrip,
         # --- raster path (M7/M8, J1/J3, A2, O5) ---
         "raster_valid_counts": raster.q_raster_valid_counts,
         "raster_sep": raster.q_raster_sep,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.q_top_orders,
         "top_orders_per_segment": relational.q_top_orders_per_segment,
         "events_window": relational.q_events_window,
+        "events_sliding": relational.q_events_sliding,
         "sessionize": relational.q_sessionize,
         "asof_join": relational.q_asof_join,
         "shuffle_join": relational.q_shuffle_join,
@@ -160,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "gridded_points": oracle.q_gridded_points(fx),
         "region_median": oracle.q_region_median(fx),
         "sampled_transform": oracle.q_sampled_transform(fx),
+        "csv_roundtrip": oracle.q_csv_roundtrip(fx),
         "raster_valid_counts": oracle.q_raster_valid_counts(fx),
         "raster_sep": oracle.q_raster_sep(fx),
         "raster_transform": oracle.q_raster_transform(fx),

@@ -449,6 +449,16 @@ JOIN uutm u ON u.url = g.url
 WHERE w.rn = 1"""
 
 
+def q_csv_roundtrip(fx: str) -> str:
+    """Per-region aggregate that the CSV sink->source roundtrip must
+    reproduce: same zwin as the parquet path (CSV round-trips doubles
+    exactly; 3-decimal sums absorb order noise)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT CAST(region_ord AS BIGINT) AS region_index, count(*) AS n_points,
+  {_r3("sum(z_out)")} AS sum_z
+FROM zwin WHERE rn = 1 GROUP BY region_ord"""
+
+
 def q_datum_transform_itrf(fx: str) -> str:
     """Mirror of queries.q_datum_transform_itrf: synthesized z, geoid
     frame hop feeding the grid pipeline (via the z-threaded

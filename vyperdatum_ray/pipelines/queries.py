@@ -529,6 +529,44 @@ def export_points_csv(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def q_csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """S2 CSV sink + CSV SOURCE roundtrip: write the covered transformed
+    points with the distributed CSV sink, read them back with
+    ``ray.data.read_csv``, and aggregate per region — proving the
+    second file format round-trips values exactly (Arrow CSV writes
+    round-trippable doubles; 3-decimal sums absorb order noise)."""
+    import shutil
+
+    from vyperdatum_ray.fixtures import sf_name_of
+
+    out_dir = f"/tmp/vdr_csv/{sf_name_of(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    export_points_csv(sf_dir, out_dir)
+    ds = ray.data.read_csv(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "region_index": batch.column("region_index").to_numpy(zero_copy_only=False).astype(np.int64),
+            "z_out": batch.column("z_out").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("region_index", as_index=False).agg(
+            p_n=("z_out", "size"), p_z=("z_out", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "region_index").aggregate(
+        Sum("p_n", alias_name="n_points"), Sum("p_z", alias_name="r_z"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_index": batch.column("region_index"),
+            "n_points": batch.column("n_points"),
+            "sum_z": np.round(batch.column("r_z").to_numpy(), 3),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_knn_grid_nodes(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """J5 kNN grid-node lookup, k=4: the containing cell's sorted
     neighbor candidate list (grid.py knn_nodes), one output row per

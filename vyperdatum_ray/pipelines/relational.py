@@ -175,7 +175,58 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+WINDOW_US = 3600 * 1_000_000  # 1h sliding window
+HOP_US = 900 * 1_000_000  # 15min hop -> 4 windows per event
+
+
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding (hopping) event-time window: 1h windows every 15min, so
+    each event contributes to WINDOW/HOP = 4 overlapping windows.
+    Batch-semantics composition of the streaming op: per-batch explode
+    (np.repeat over the 4 hop offsets) + per-batch partial aggregation,
+    then a small groupby-sum — the shuffle carries (window, type)
+    partials, never the 4x event explosion."""
+    n_hops = WINDOW_US // HOP_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        etype = batch.column("event_type").to_numpy(zero_copy_only=False)
+        value = batch.column("value").to_numpy(zero_copy_only=False)
+        base = ts_us // HOP_US
+        offs = np.arange(n_hops, dtype=np.int64)
+        win_start = ((np.repeat(base, n_hops)
+                      - np.tile(offs, len(base))) * HOP_US)
+        df = pd.DataFrame({
+            "window_start_us": win_start,
+            "event_type": np.repeat(etype, n_hops),
+            "value": np.repeat(value, n_hops),
+        })
+        g = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["window_start_us", "event_type"]
+    ).aggregate(Sum("p_n", alias_name="n_events"), Sum("p_sum", alias_name="r_sum"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start_us").cast(pa.timestamp("us")),
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("n_events"),
+            "sum_value": np.round(batch.column("r_sum").to_numpy(), 2),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 ORACLES = {
+    "events_sliding": """
+SELECT make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000) AS window_start,
+  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS h(j)
+GROUP BY window_start, event_type""",
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
   sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
