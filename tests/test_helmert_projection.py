@@ -142,3 +142,37 @@ def test_transform_points_utm_input_matches_geographic():
     np.testing.assert_array_equal(gx, lon)  # returned coords are geographic
     with pytest.raises(ValueError):
         transform_points(cat, lon, lat, input_crs="EPSG:32618")
+
+
+def test_utm_roundtrip_property():
+    """Property: forward->inverse recovers any 5-decimal in-zone
+    coordinate exactly (series error far below quantization)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vyperdatum_ray.core.projection import utm_forward, utm_inverse
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.integers(-7800000, -7200000).map(lambda v: v / 1e5),
+        lat=st.integers(2000000, 6000000).map(lambda v: v / 1e5),
+    )
+    def check(lon, lat):
+        e, n_ = utm_forward(np.array([lon]), np.array([lat]), 18)
+        rlon, rlat = utm_inverse(e, n_, 18)
+        assert rlon[0] == lon and rlat[0] == lat
+
+    check()
+
+
+def test_helmert_hop_z_linearity():
+    """Property: the frame hop is locally linear in input height — a
+    +10 m input z moves output z by 10 m within ~1e-3 m (the scale+
+    rotation terms are ~1e-7), never by a different amount."""
+    from vyperdatum_ray.core.helmert import frame_hop
+
+    lon, lat, _ = _grid_coords(300, seed=21)
+    z0 = np.zeros_like(lon)
+    _, _, hz0 = frame_hop(lon, lat, z0, "ITRF2014")
+    _, _, hz10 = frame_hop(lon, lat, z0 + 10.0, "ITRF2014")
+    assert np.abs((hz10 - hz0) - 10.0).max() < 1e-3
