@@ -244,3 +244,18 @@ def test_neardup_embedding_exact_with_shuffled_ids(ray_session, tmp_path):
               for i, j in zip(ai, bi) if ids[i] != ids[j]}
     got = set(zip(out["vec_id_a"].astype(int), out["vec_id_b"].astype(int)))
     assert got == expect
+
+
+def test_neardup_jaccard_exchange_path_matches_fast_path(ray_session, monkeypatch):
+    """Forcing the repartition-join path (as if the candidate set were
+    too large to broadcast) must produce the identical verified set."""
+    import vyperdatum_ray.pipelines.textops as T
+
+    fast = T.q_neardup_jaccard(SF, tau=0.5).to_pandas()
+    monkeypatch.setattr(T, "BROADCAST_CAND_CAP", 0)
+    slow = T.q_neardup_jaccard(SF, tau=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    f = fast.sort_values(key).reset_index(drop=True)
+    s = slow.sort_values(key).reset_index(drop=True)
+    assert f[key].equals(s[key])
+    np.testing.assert_allclose(f["jaccard"], s["jaccard"])

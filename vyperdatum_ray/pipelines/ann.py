@@ -281,13 +281,13 @@ def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Datase
             self.keys, self.roots = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from vyperdatum_ray.core.nputil import isin_sorted
+
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
             cluster = ids.copy()
-            if len(self.keys):
-                pos = np.searchsorted(self.keys, ids)
-                pos_c = np.minimum(pos, len(self.keys) - 1)
-                hit = (pos < len(self.keys)) & (self.keys[pos_c] == ids)
-                cluster[hit] = self.roots[pos_c[hit]]
+            hit = isin_sorted(ids, self.keys)
+            if hit.any():
+                cluster[hit] = self.roots[np.searchsorted(self.keys, ids[hit])]
             return pa.table({
                 "vec_id": pa.array(ids, pa.int64()),
                 "cluster_id": pa.array(cluster, pa.int64()),

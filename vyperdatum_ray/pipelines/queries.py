@@ -547,7 +547,9 @@ def q_csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "region_index": batch.column("region_index").to_numpy(zero_copy_only=False).astype(np.int64),
-            "z_out": batch.column("z_out").to_numpy(zero_copy_only=False),
+            # explicit float64: a part file whose z_out values are all
+            # integral would otherwise be CSV-inferred as int64
+            "z_out": batch.column("z_out").to_numpy(zero_copy_only=False).astype(np.float64),
         })
         g = df.groupby("region_index", as_index=False).agg(
             p_n=("z_out", "size"), p_z=("z_out", "sum"))

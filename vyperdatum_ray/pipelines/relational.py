@@ -221,12 +221,22 @@ def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
-ORACLES = {
-    "events_sliding": """
-SELECT make_timestamp((epoch_us(ts) // 900000000 - j) * 900000000) AS window_start,
+def _events_sliding_oracle() -> str:
+    """Derived from WINDOW_US/HOP_US so engine and oracle cannot drift;
+    floor division is spelled with floor() because DuckDB's integer //
+    truncates toward zero while numpy's floors (they diverge on
+    pre-1970 timestamps)."""
+    hops = ", ".join(f"({j})" for j in range(WINDOW_US // HOP_US))
+    return f"""
+SELECT make_timestamp((CAST(floor(epoch_us(ts) / {HOP_US}.0) AS BIGINT) - j)
+                      * {HOP_US}) AS window_start,
   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS h(j)
-GROUP BY window_start, event_type""",
+FROM events CROSS JOIN (VALUES {hops}) AS h(j)
+GROUP BY window_start, event_type"""
+
+
+ORACLES = {
+    "events_sliding": _events_sliding_oracle(),
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
   sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
@@ -349,12 +359,7 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
     building_ref = ray.put(building)
     cutoff_scalar = pa.scalar(cutoff, type=pa.timestamp("us"))
 
-    def _member_sorted(keys: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
-        if len(sorted_set) == 0:
-            return np.zeros(len(keys), dtype=bool)
-        pos = np.searchsorted(sorted_set, keys)
-        pos_c = np.minimum(pos, len(sorted_set) - 1)
-        return (pos < len(sorted_set)) & (sorted_set[pos_c] == keys)
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
 
     class FilterOrders:
         def __init__(self, ref):

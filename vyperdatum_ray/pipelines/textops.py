@@ -653,21 +653,26 @@ def _jaccard_from_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+BROADCAST_CAND_CAP = 2_000_000  # candidate-doc broadcast fast-path cap
+
+
 def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.data.Dataset:
     """n-gram Jaccard near-dup: MinHash-LSH candidate pairs verified
     with exact 5-gram Jaccard >= tau (candidate recall from LSH, final
     precision from the exact measure).
 
-    The candidate ids are HASH-JOINED back to document text with a
-    repartition join expressed as union + bounded-salt groupby (both
-    pair SIDES fetch their text in ONE doc-keyed exchange, then pairs
-    reassemble in a second pair-keyed exchange) — no whole-corpus
-    broadcast: only the CANDIDATE id set (bounded by LSH output, not
-    corpus size) is collected and broadcast to pre-filter the doc
-    stream, so non-candidate texts never enter the shuffle. The
-    groupby form deliberately avoids ``Dataset.join``: its per-join
-    aggregator-actor pool starves/deadlocks the 2-joins-in-one-DAG
-    shape at small CPU counts."""
+    No whole-corpus state anywhere: only the CANDIDATE id set (bounded
+    by LSH output, not corpus size) is collected. When it is small
+    enough to broadcast (the normal case — LSH precision bounds it),
+    the candidate docs' texts are broadcast and pairs verify in a
+    stateless map. Otherwise the candidate ids pre-filter the doc
+    stream and the texts are HASH-JOINED back via a repartition join
+    expressed as union + bounded-salt groupby (both pair SIDES fetch
+    text in one doc-keyed exchange, pairs reassemble in a second
+    pair-keyed exchange). The groupby form deliberately avoids
+    ``Dataset.join``: its per-join aggregator-actor pool
+    starves/deadlocks the 2-joins-in-one-DAG shape at small CPU
+    counts."""
     cand = q_minhash_pairs(sf_dir).materialize()  # bounded candidate pairs
     docs = _docs(sf_dir, ["doc_id", "text"])
     ksalt = np.uint64(k_salt)
@@ -683,6 +688,57 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     ).astype(np.int64)
     cand_ids_ref = ray.put(cand_ids)
 
+    if len(cand_ids) <= BROADCAST_CAND_CAP:
+        # FAST PATH: the candidate-doc TEXT set is also bounded, so
+        # broadcast it (candidate-sized, never corpus-sized) and verify
+        # pairs with a stateless map — this skips both repartition
+        # exchanges (two sort-shuffles carrying text dominated the
+        # exchange path's wall time)
+        from vyperdatum_ray.core.nputil import isin_sorted
+
+        def project_cand_docs(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(isin_sorted(ids, cand_ids)))
+
+        texts_df = docs.map_batches(project_cand_docs, batch_format="pyarrow").to_pandas()
+        lut_ref = ray.put((texts_df["doc_id"].to_numpy(np.int64),
+                           texts_df["text"].to_numpy()))
+
+        class VerifyBroadcast:
+            """Shingles of the CANDIDATE docs computed once per actor;
+            pairs scored vectorized against the cached sets."""
+
+            def __init__(self, ref, tau):
+                ids, texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                order = np.argsort(ids)
+                flat, counts = _shingle_hashes_batch(list(texts[order]), 5)
+                offs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                self.ids = ids[order]
+                self.shingles = [flat[offs[i]:offs[i + 1]] for i in range(len(counts))]
+                self.tau = tau
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(self.ids, a)
+                ib = np.searchsorted(self.ids, b)
+                jac = np.empty(len(a), dtype=np.float64)
+                for i in range(len(a)):
+                    jac[i] = _jaccard_from_sorted(self.shingles[ia[i]],
+                                                  self.shingles[ib[i]])
+                keep = jac >= self.tau
+                return pa.table({
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                })
+
+        return cand.map_batches(
+            VerifyBroadcast, fn_constructor_kwargs={"ref": lut_ref, "tau": tau},
+            batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        )
+
     def requests(t: pa.Table) -> pa.Table:
         """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
         slot 1 = b); pair_id packs (id_a, id_b)."""
@@ -697,30 +753,25 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
             "text": pa.array([None] * (2 * n), pa.string()),
         })
 
-    class DocSide:
-        """Doc rows filtered to the broadcast candidate-id set: texts
-        of docs in no candidate pair never enter the shuffle."""
+    def doc_side(t: pa.Table) -> pa.Table:
+        """Doc rows filtered to the broadcast candidate-id set: texts of
+        docs in no candidate pair never enter the shuffle. Stateless
+        TASK map (not a size-capped actor pool): the per-task
+        ``ray.get`` of the broadcast ref is a local object-store hit,
+        and tasks scale to all CPUs."""
+        from vyperdatum_ray.core.nputil import isin_sorted
 
-        def __init__(self, ref):
-            self.cand_ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(self.cand_ids):
-                pos = np.searchsorted(self.cand_ids, ids)
-                pos_c = np.minimum(pos, len(self.cand_ids) - 1)
-                keep = (pos < len(self.cand_ids)) & (self.cand_ids[pos_c] == ids)
-            else:
-                keep = np.zeros(len(ids), dtype=bool)
-            t = t.filter(pa.array(keep))
-            n = t.num_rows
-            return pa.table({
-                "key": pa.array(
-                    t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
-                "pair_id": pa.array(np.full(n, -1, np.int64)),
-                "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
-                "text": t.column("text"),
-            })
+        cand = ray.get(cand_ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(isin_sorted(ids, cand)))
+        n = t.num_rows
+        return pa.table({
+            "key": pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
+            "pair_id": pa.array(np.full(n, -1, np.int64)),
+            "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "text": t.column("text"),
+        })
 
     def add_key_salt(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -778,10 +829,8 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
             "jaccard": np.round(jac[keep], 6),
         })
 
-    u = docs.map_batches(
-        DocSide, fn_constructor_kwargs={"ref": cand_ids_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
-    ).union(cand.map_batches(requests, batch_format="pyarrow"))
+    u = docs.map_batches(doc_side, batch_format="pyarrow").union(
+        cand.map_batches(requests, batch_format="pyarrow"))
     u = u.map_batches(add_key_salt, batch_format="pyarrow")
     resolved = u.groupby("salt").map_groups(resolve_texts, batch_format="pandas")
     resolved = resolved.map_batches(add_pair_salt, batch_format="pyarrow")
