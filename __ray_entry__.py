@@ -47,7 +47,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- flagship geospatial surface (SURVEY.md §2.2-2.5) ---
         "geocode": q.q_geocode,
-        "tile_counts": q.q_tile_counts,
         "extent": q.q_extent,
         "region_join": q.q_region_join,
         "region_counts": q.q_region_counts,
@@ -103,9 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
-        # (tile_counts covers tile_assign, knn_grid_node covers _nodes,
-        # quality_score covers quality_filter, token_dedup_stats covers
-        # token_count, tests byte-check text_passthrough).
+        # (hot_tiles covers tile_counts/tile_assign binning+counting,
+        # knn_grid_node covers _nodes, quality_score covers
+        # quality_filter, token_dedup_stats covers token_count, tests
+        # byte-check text_passthrough).
+        "tile_counts": q.q_tile_counts,
         "tile_assign": q.q_tile_assign,
         "knn_grid_nodes": q.q_knn_grid_nodes,
         "quality_filter": textops.q_quality_filter,
