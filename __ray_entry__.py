@@ -49,7 +49,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode": q.q_geocode,
         "extent": q.q_extent,
         "region_join": q.q_region_join,
-        "region_counts": q.q_region_counts,
         "datum_transform": q.q_datum_transform,
         "datum_transform_inv": q.q_datum_transform_inv,
         "datum_transform_mhw": q.q_datum_transform_mhw,
@@ -92,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_stats": textops.q_lang_token_stats,
         "token_dedup_stats": textops.q_token_dedup_stats,
         "token_percentiles": textops.q_token_percentiles,
+        "unigram_logprob": textops.q_unigram_logprob,
         "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
@@ -103,9 +103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
         # (hot_tiles covers tile_counts/tile_assign binning+counting,
-        # knn_grid_node covers _nodes, quality_score covers
-        # quality_filter, token_dedup_stats covers token_count, tests
-        # byte-check text_passthrough).
+        # region_join covers region_counts' membership and
+        # transform_summary its per-region aggregate, knn_grid_node
+        # covers _nodes, quality_score covers quality_filter,
+        # token_dedup_stats covers token_count, tests byte-check
+        # text_passthrough).
+        "region_counts": q.q_region_counts,
         "tile_counts": q.q_tile_counts,
         "tile_assign": q.q_tile_assign,
         "knn_grid_nodes": q.q_knn_grid_nodes,
@@ -135,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
     from vyperdatum_ray.pipelines.textops import (TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
+                                                  UNIGRAM_LOGPROB_ORACLE,
                                                   langid_oracle_sql,
                                                   lang_token_stats_oracle_sql)
     from vyperdatum_ray import oracle
@@ -207,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_token_stats": lang_token_stats_oracle_sql(),
         "token_dedup_stats": TOKEN_DEDUP_ORACLE,
         "token_percentiles": TOKEN_PERCENTILES_ORACLE,
+        "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
         "dedup_clusters_embedding": dedup_clusters_oracle_sql(),
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "

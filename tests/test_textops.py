@@ -259,3 +259,17 @@ def test_neardup_jaccard_exchange_path_matches_fast_path(ray_session, monkeypatc
     s = slow.sort_values(key).reset_index(drop=True)
     assert f[key].equals(s[key])
     np.testing.assert_allclose(f["jaccard"], s["jaccard"])
+
+
+def test_unigram_logprob_oov_bucket(ray_session):
+    """With a tiny vocab cap the tail must score as ONE pooled OOV mass:
+    rarer-than-cap tokens share a single surprisal value, and frequent
+    tokens score lower surprisal than rare ones."""
+    from vyperdatum_ray.pipelines.textops import q_unigram_logprob
+
+    full = q_unigram_logprob(SF).to_pandas().set_index("doc_id")
+    capped = q_unigram_logprob(SF, vocab_cap=5).to_pandas().set_index("doc_id")
+    assert (full["n_tokens"] == capped["n_tokens"]).all()
+    # pooling the tail into one bucket reduces total surprisal mass
+    assert capped["mean_surprisal"].mean() < full["mean_surprisal"].mean()
+    assert (full.loc[full["n_tokens"] > 0, "mean_surprisal"] > 0).all()

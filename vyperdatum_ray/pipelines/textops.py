@@ -1013,6 +1013,104 @@ def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+VOCAB_CAP = 65536  # unigram model vocabulary cap; tail pools into OOV
+
+
+def q_unigram_logprob(sf_dir: str, vocab_cap: int = VOCAB_CAP) -> ray.data.Dataset:
+    """Model-based quality scoring: per-document mean unigram surprisal
+    under the corpus's own unigram distribution (the perplexity-proxy
+    filter of web-text pipelines). Two passes: (1) corpus token
+    frequencies via per-batch combiners + a bounded groupby-sum; the
+    top ``vocab_cap`` tokens by (count desc, token) form the vocabulary
+    and the tail pools into one OOV bucket; (2) the (vocab, logp)
+    table broadcasts once and documents stream through a vectorized
+    lookup + per-doc mean."""
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.coalesce(batch.column("text"), ""), r"\s+"))
+        toks = pc.filter(toks, pc.greater(pc.utf8_length(toks), 0))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"token": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
+
+    freq = (
+        _docs(sf_dir, ["text"]).map_batches(freq_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("p_n", alias_name="n")).to_pandas()
+    )
+    freq = freq.sort_values(["n", "token"], ascending=[False, True])
+    total = float(freq["n"].sum())
+    kept = freq.head(vocab_cap)
+    oov_total = float(freq["n"].iloc[vocab_cap:].sum())
+    vocab = kept["token"].to_numpy()
+    order = np.argsort(vocab)
+    vocab_sorted = vocab[order]
+    logp_sorted = np.log(kept["n"].to_numpy()[order] / total)
+    oov_logp = np.log(oov_total / total) if oov_total > 0 else 0.0
+    lut_ref = ray.put((vocab_sorted, logp_sorted, oov_logp))
+
+    class Score:
+        def __init__(self, ref):
+            self.vocab, self.logp, self.oov = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column("text")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            toks = pc.split_pattern_regex(pc.coalesce(col, ""), r"\s+")
+            flat = pc.list_flatten(toks)
+            counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(counts)
+            nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)[nonempty]
+            words = pc.filter(flat, pa.array(nonempty)).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.vocab, words)
+            pos_c = np.minimum(pos, max(len(self.vocab) - 1, 0))
+            hit = ((pos < len(self.vocab)) & (self.vocab[pos_c] == words)
+                   if len(self.vocab) else np.zeros(len(words), bool))
+            lp = np.where(hit, self.logp[pos_c] if len(self.vocab) else 0.0, self.oov)
+            n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+            sums = np.bincount(doc_of, weights=-lp, minlength=n)
+            mean = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "mean_surprisal": pa.array(np.round(mean, 6), pa.float64()),
+            })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score, fn_constructor_kwargs={"ref": lut_ref},
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS t
+  FROM documents
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+ranked AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM freq),
+oov AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS oc FROM ranked WHERE rn > 65536),
+scored AS (
+  SELECT tok.doc_id,
+    -ln(CASE WHEN r.rn <= 65536 THEN r.c / tot.n ELSE oov.oc / tot.n END) AS s
+  FROM tok JOIN ranked r ON r.t = tok.t CROSS JOIN tot CROSS JOIN oov
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(s), 6) AS mean_surprisal
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.mean_surprisal, 0.0) AS mean_surprisal
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_token_freq(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     """Corpus token frequency, top-k: per-batch vectorized token counts
     (the combiner — the shuffle moves (token, count) partials, never
