@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "orders_customer_join",
     "shuffle_join",
     "sessionize",
+    "events_sliding",
     "asof_join",
     "region_median",
     "zonal_stats",
@@ -49,6 +50,7 @@ BENCH_QUERIES = [
     "quality_score",
     "simhash",
     "langid",
+    "unigram_logprob",
     "ann_topk",
     "neardup_embedding",
     "neardup_embedding_lsh",

@@ -54,4 +54,16 @@ def __getattr__(name):  # lazy: avoid importing Ray at package import
         from vyperdatum_ray.core.wkt import vertical_datum_to_wkt
 
         return vertical_datum_to_wkt
+    if name == "parse_crs":
+        from vyperdatum_ray.core.crs import parse_crs
+
+        return parse_crs
+    if name == "frame_hop":
+        from vyperdatum_ray.core.helmert import frame_hop
+
+        return frame_hop
+    if name in ("utm_forward", "utm_inverse"):
+        from vyperdatum_ray.core import projection
+
+        return getattr(projection, name)
     raise AttributeError(name)
