@@ -56,7 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datum_transform_itrf": q.q_datum_transform_itrf,
         "transform_projected": q.q_transform_projected,
         "hot_tiles": q.q_hot_tiles,
-        "uncertainty_table": q.q_uncertainty_table,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
         "gridded_points": q.q_gridded_points,
@@ -92,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_dedup_stats": textops.q_token_dedup_stats,
         "token_percentiles": textops.q_token_percentiles,
         "unigram_logprob": textops.q_unigram_logprob,
+        "sample_documents": textops.q_sample_documents,
         "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token_dedup_stats covers token_count, tests byte-check
         # text_passthrough).
         "region_counts": q.q_region_counts,
+        "uncertainty_table": q.q_uncertainty_table,  # composed in every datum_transform unc
         "tile_counts": q.q_tile_counts,
         "tile_assign": q.q_tile_assign,
         "knn_grid_nodes": q.q_knn_grid_nodes,
@@ -136,7 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.ann import dedup_clusters_oracle_sql
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
-    from vyperdatum_ray.pipelines.textops import (TOKEN_DEDUP_ORACLE,
+    from vyperdatum_ray.pipelines.textops import (SAMPLE_DOCUMENTS_ORACLE,
+                                                  TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
                                                   langid_oracle_sql,
@@ -212,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "token_dedup_stats": TOKEN_DEDUP_ORACLE,
         "token_percentiles": TOKEN_PERCENTILES_ORACLE,
         "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
+        "sample_documents": SAMPLE_DOCUMENTS_ORACLE,
         "dedup_clusters_embedding": dedup_clusters_oracle_sql(),
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "

@@ -1013,6 +1013,35 @@ def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+SAMPLE_MOD = np.int64(1 << 32)
+SAMPLE_MULT = np.int64(2654435761)  # Knuth multiplicative hash
+
+
+def q_sample_documents(sf_dir: str, pct: int = 5) -> ray.data.Dataset:
+    """Deterministic hash sampling (the reproducible corpus-subsample
+    every training-data pipeline needs): keep a document iff
+    ``(doc_id * 2654435761) mod 2^32 < pct% of 2^32``. Pure integer
+    arithmetic — identical in the SQL oracle, stable across runs and
+    partitionings, no RNG state anywhere."""
+    threshold = np.int64((1 << 32) * pct // 100)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * SAMPLE_MULT) % SAMPLE_MOD < threshold
+        t = batch.filter(pa.array(keep))
+        n_tok = pc.cast(pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n_tok})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SAMPLE_DOCUMENTS_ORACLE = r"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 214748364"""
+
+
 VOCAB_CAP = 65536  # unigram model vocabulary cap; tail pools into OOV
 
 
