@@ -29,11 +29,14 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read ONLY the query rows: the vec_id predicate is pushed into
+    the parquet read so just the matching row-groups materialize on the
+    driver, never the whole embeddings table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
+    df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
 
@@ -228,14 +231,25 @@ class BlockPairScorer:
         })
 
 
-def q_neardup_embedding(sf_dir: str, tau: float = 0.4, n_blocks: int = 8) -> ray.data.Dataset:
+BLOCK_ROWS = 65536  # ~32 MB per normalized 64-dim float64 block
+
+
+def q_neardup_embedding(sf_dir: str, tau: float = 0.4,
+                        n_blocks: int | None = None) -> ray.data.Dataset:
     """EXACT embedding-cosine near-duplicate pairs as a distributed
     block self-join: normalize into B blocks held once in the object
     store, then fan the B*(B+1)/2 block pairs out as a Dataset — each
-    task touches exactly two blocks. Memory per task is O(n/B), total
-    work the inherent O(n^2) of the exact op (the sub-quadratic scale
-    path is ``q_neardup_embedding_lsh``)."""
-    blocks = _emb(sf_dir).repartition(n_blocks).materialize()
+    task touches exactly two blocks. B scales with the corpus
+    (``ceil(n / BLOCK_ROWS)``, floor 8 so small corpora still fan out
+    to 36 pair tasks) so per-task memory stays bounded at ~2 x
+    BLOCK_ROWS rows regardless of input size; total work is the
+    inherent O(n^2) of the exact op (the sub-quadratic scale path is
+    ``q_neardup_embedding_lsh``)."""
+    emb = _emb(sf_dir)
+    if n_blocks is None:
+        # Dataset.count() on a parquet read is metadata-only
+        n_blocks = max(8, -(-emb.count() // BLOCK_ROWS))
+    blocks = emb.repartition(n_blocks).materialize()
     refs = blocks.to_arrow_refs()
     pairs = [{"bi": i, "bj": j} for i in range(len(refs)) for j in range(i, len(refs))]
     return ray.data.from_items(pairs).map_batches(

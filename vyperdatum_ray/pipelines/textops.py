@@ -18,6 +18,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from vyperdatum_ray.core.helmert import sql_rn
+
 NORMALIZE_PATTERN = r"[0-9]+(\.[0-9]+)?"  # digits (incl. decimals) -> '#'
 
 
@@ -298,8 +300,8 @@ def q_lang_token_stats(sf_dir: str) -> ray.data.Dataset:
     class LangTok(LangId):
         def __call__(self, batch: pa.Table) -> pa.Table:
             pred = super().__call__(batch)
-            n_tok = pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"),
-                            pa.int64())
+            n_tok = pc.cast(pc.count_substring_regex(
+                pc.coalesce(batch.column("text"), ""), r"\S+"), pa.int64())
             df = pd.DataFrame({
                 "lang_pred": pred.column("lang_pred").to_numpy(zero_copy_only=False),
                 "n": n_tok.to_numpy(zero_copy_only=False),
@@ -318,8 +320,9 @@ def lang_token_stats_oracle_sql() -> str:
     score_cols, tot, pred, langs = _langid_sql_parts()
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t,
-    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t,
+    CAST(length(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tok
   FROM documents
 ),
 sc AS (SELECT doc_id, n_tok, {', '.join(score_cols)} FROM toks)
@@ -357,7 +360,9 @@ def langid_oracle_sql() -> str:
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS t FROM documents
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t
+  FROM documents
 ),
 sc AS (SELECT doc_id, {', '.join(score_cols)} FROM toks)
 SELECT doc_id, {pred} AS lang_pred,
@@ -391,6 +396,8 @@ def _shingle_hashes_batch(texts: list, k: int = 5) -> tuple[np.ndarray, np.ndarr
     same rolling hash, same space padding of short docs): returns
     (flat, counts) where ``flat`` concatenates each doc's unique hashes
     in doc order. The only per-doc Python work is the byte encode."""
+    if not texts:  # empty candidate set / empty batch
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
     bufs = []
     for t in texts:
         b = (t or "").encode()
@@ -653,6 +660,41 @@ def _jaccard_from_sorted(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _jaccard_pairs_flat(flat: np.ndarray, offs: np.ndarray,
+                        ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for MANY pairs in one vectorized pass (no per-pair
+    Python): ``flat``/``offs`` hold each doc's sorted-UNIQUE shingle
+    hashes (< 2^31); pair p compares docs ia[p] vs ib[p]. Both sides'
+    values are gathered under a packed (pair << 31 | hash) key and ONE
+    sort finds duplicates — a value appearing twice within a pair is in
+    both sets (each side is unique), so adjacent-equal counts are the
+    intersection sizes. Identical results to the per-pair
+    ``_jaccard_from_sorted`` loop (tests assert equality)."""
+    n_pairs = len(ia)
+    if n_pairs == 0:
+        return np.zeros(0, np.float64)
+    la = offs[ia + 1] - offs[ia]
+    lb = offs[ib + 1] - offs[ib]
+    reps = np.empty(2 * n_pairs, dtype=np.int64)
+    reps[0::2] = la
+    reps[1::2] = lb
+    seg_starts = np.empty(2 * n_pairs, dtype=np.int64)
+    seg_starts[0::2] = offs[ia]
+    seg_starts[1::2] = offs[ib]
+    tot = int(reps.sum())
+    seg_of = np.repeat(np.arange(2 * n_pairs, dtype=np.int64), reps)
+    cum = np.zeros(2 * n_pairs, dtype=np.int64)
+    np.cumsum(reps[:-1], out=cum[1:])
+    idx = seg_starts[seg_of] + (np.arange(tot, dtype=np.int64) - cum[seg_of])
+    key = ((seg_of >> 1).astype(np.uint64) << np.uint64(31)) | flat[idx]
+    key.sort(kind="stable")
+    dup = key[1:] == key[:-1]
+    inter = np.bincount((key[:-1][dup] >> np.uint64(31)).astype(np.int64),
+                        minlength=n_pairs)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 BROADCAST_CAND_CAP = 2_000_000  # candidate-doc broadcast fast-path cap
 
 
@@ -706,16 +748,16 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
 
         class VerifyBroadcast:
             """Shingles of the CANDIDATE docs computed once per actor;
-            pairs scored vectorized against the cached sets."""
+            pairs scored in one vectorized packed-key-sort pass."""
 
             def __init__(self, ref, tau):
                 ids, texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
                 order = np.argsort(ids)
                 flat, counts = _shingle_hashes_batch(list(texts[order]), 5)
-                offs = np.zeros(len(counts) + 1, dtype=np.int64)
-                np.cumsum(counts, out=offs[1:])
+                self.offs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=self.offs[1:])
+                self.flat = flat
                 self.ids = ids[order]
-                self.shingles = [flat[offs[i]:offs[i + 1]] for i in range(len(counts))]
                 self.tau = tau
 
             def __call__(self, t: pa.Table) -> pa.Table:
@@ -723,10 +765,7 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
                 b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
                 ia = np.searchsorted(self.ids, a)
                 ib = np.searchsorted(self.ids, b)
-                jac = np.empty(len(a), dtype=np.float64)
-                for i in range(len(a)):
-                    jac[i] = _jaccard_from_sorted(self.shingles[ia[i]],
-                                                  self.shingles[ib[i]])
+                jac = _jaccard_pairs_flat(self.flat, self.offs, ia, ib)
                 keep = jac >= self.tau
                 return pa.table({
                     "id_a": pa.array(a[keep], pa.int64()),
@@ -741,14 +780,20 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
 
     def requests(t: pa.Table) -> pa.Table:
         """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
-        slot 1 = b); pair_id packs (id_a, id_b)."""
+        slot 1 = b); pair_id packs (id_a, id_b) in UINT64 — int64 would
+        sign-corrupt at id >= 2^31, exactly the large-corpus regime this
+        exchange path exists for — and ids must fit 32 bits to pack."""
         a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        pair = (a << np.int64(32)) | b
+        if len(a) and int(max(a.max(), b.max())) >> 32:
+            raise ValueError(
+                "neardup_jaccard exchange path packs (id_a, id_b) into 64 "
+                "bits: doc ids must be < 2^32")
+        pair = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
         n = len(a)
         return pa.table({
             "key": pa.array(np.concatenate([a, b]), pa.int64()),
-            "pair_id": pa.array(np.concatenate([pair, pair]), pa.int64()),
+            "pair_id": pa.array(np.concatenate([pair, pair]), pa.uint64()),
             "slot": pa.array(np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)], pa.int8()),
             "text": pa.array([None] * (2 * n), pa.string()),
         })
@@ -768,7 +813,7 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
         return pa.table({
             "key": pa.array(
                 t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)),
-            "pair_id": pa.array(np.full(n, -1, np.int64)),
+            "pair_id": pa.array(np.zeros(n, np.uint64), pa.uint64()),
             "slot": pa.array(np.full(n, -1, np.int8), pa.int8()),
             "text": t.column("text"),
         })
@@ -784,7 +829,7 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
         d = df[df["slot"] < 0]
         r = df[df["slot"] >= 0]
         if r.empty:
-            return pd.DataFrame({"pair_id": pd.Series(dtype=np.int64),
+            return pd.DataFrame({"pair_id": pd.Series(dtype=np.uint64),
                                  "slot": pd.Series(dtype=np.int8),
                                  "text": pd.Series(dtype=object)})
         lut = pd.Series(d["text"].to_numpy(), index=d["key"].to_numpy())
@@ -802,30 +847,27 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """One pair-keyed group: shingle each UNIQUE doc once (a doc in
         many candidate pairs — template spam — is the common case),
-        then exact Jaccard per pair from the cached sets."""
-        pair = df["pair_id"].to_numpy()
+        then exact Jaccard for all pairs in one packed-key-sort pass."""
+        pair = df["pair_id"].to_numpy().astype(np.uint64)
         slot = df["slot"].to_numpy()
-        doc_key = np.where(slot == 0, pair >> np.int64(32),
-                           pair & np.int64(0xFFFFFFFF))
+        doc_key = np.where(slot == 0, pair >> np.uint64(32),
+                           pair & np.uint64(0xFFFFFFFF))
         uniq, uidx, inv = np.unique(doc_key, return_index=True, return_inverse=True)
         texts = df["text"].to_numpy()
         flat, counts = _shingle_hashes_batch(list(texts[uidx]), 5)
         offs = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=offs[1:])
-        shingles = [flat[offs[i]:offs[i + 1]] for i in range(len(counts))]
         a = pd.DataFrame({"pair_id": pair[slot == 0], "ia": inv[slot == 0]})
         b = pd.DataFrame({"pair_id": pair[slot == 1], "ib": inv[slot == 1]})
         m = a.merge(b, on="pair_id")
-        mp = m["pair_id"].to_numpy()
-        ia = m["ia"].to_numpy()
-        ib = m["ib"].to_numpy()
-        jac = np.empty(len(m), dtype=np.float64)
-        for i in range(len(m)):
-            jac[i] = _jaccard_from_sorted(shingles[ia[i]], shingles[ib[i]])
+        mp = m["pair_id"].to_numpy().astype(np.uint64)
+        jac = _jaccard_pairs_flat(flat, offs,
+                                  m["ia"].to_numpy(np.int64),
+                                  m["ib"].to_numpy(np.int64))
         keep = jac >= tau
         return pd.DataFrame({
-            "id_a": (mp[keep] >> np.int64(32)).astype(np.int64),
-            "id_b": (mp[keep] & np.int64(0xFFFFFFFF)).astype(np.int64),
+            "id_a": (mp[keep] >> np.uint64(32)).astype(np.int64),
+            "id_b": (mp[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64),
             "jaccard": np.round(jac[keep], 6),
         })
 
@@ -963,10 +1005,14 @@ CM_WIDTH = 2048
 def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Count-min-sketch heavy hitters: each batch emits (a) sketch-cell
     partials — CM_DEPTH x CM_WIDTH bounded rows regardless of input
-    size — and (b) its local top-k candidate hosts. Cells merge with a
-    groupby-sum; candidates dedupe small; final estimates = min over
-    the candidate's CM_DEPTH cells. Overestimates only (CM guarantee);
-    rows-only check, accuracy asserted in tests vs the exact op."""
+    size — and (b) its local top-k candidate hosts. Cells AND candidates
+    merge with a distributed ``groupby(cell, host).sum()`` (the same
+    shape as the HLL register merge in q_approx_distinct_hosts), so the
+    driver collects only the <= DEPTH*WIDTH merged cells plus the
+    deduped candidate hosts — never the O(n_batches * cells) partial
+    stream. Final estimates = min over the candidate's CM_DEPTH cells.
+    Overestimates only (CM guarantee); rows-only check, accuracy
+    asserted in tests vs the exact op."""
     from vyperdatum_ray.fixtures import pages_paths
 
     # independent odd multipliers per row (multiples of ONE constant are
@@ -998,11 +1044,16 @@ def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.Table.from_pandas(pd.concat([cells, cand]), preserve_index=False)
 
     ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url"])
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    cells = parts[parts["cell"] >= 0].groupby("cell")["p_n"].sum()
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "host"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    cells = merged[merged["cell"] >= 0]
     sketch = np.zeros(CM_DEPTH * CM_WIDTH, dtype=np.int64)
-    sketch[cells.index.to_numpy()] = cells.to_numpy()
-    cand_hosts = parts.loc[parts["cell"] < 0, "host"].unique()
+    sketch[cells["cell"].to_numpy()] = cells["n"].to_numpy()
+    cand_hosts = merged.loc[merged["cell"] < 0, "host"].unique()
     h = _hash_utf8_fast(pa.array(list(cand_hosts), pa.string()))
     est = np.full(len(cand_hosts), np.iinfo(np.int64).max, dtype=np.int64)
     for d in range(CM_DEPTH):
@@ -1013,21 +1064,26 @@ def q_top_hosts_sketch(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-SAMPLE_MOD = np.int64(1 << 32)
-SAMPLE_MULT = np.int64(2654435761)  # Knuth multiplicative hash
+SAMPLE_MOD = np.uint64(1 << 32)
+SAMPLE_MULT = np.uint64(2654435761)  # Knuth multiplicative hash
 
 
 def q_sample_documents(sf_dir: str, pct: int = 5) -> ray.data.Dataset:
     """Deterministic hash sampling (the reproducible corpus-subsample
     every training-data pipeline needs): keep a document iff
-    ``(doc_id * 2654435761) mod 2^32 < pct% of 2^32``. Pure integer
-    arithmetic — identical in the SQL oracle, stable across runs and
-    partitionings, no RNG state anywhere."""
-    threshold = np.int64((1 << 32) * pct // 100)
+    ``((doc_id & 0xFFFFFFFF) * 2654435761) mod 2^32 < pct% of 2^32``.
+    Pure uint64 integer arithmetic — identical in the SQL oracle (which
+    multiplies in HUGEINT), stable across runs and partitionings, no
+    RNG state anywhere. The hash keys on the LOW 32 BITS of doc_id (the
+    documented id-range assumption): ids differing only above bit 32
+    share a sample decision, and the masked product stays < 2^64 so
+    neither side can overflow or error."""
+    threshold = np.uint64((1 << 32) * pct // 100)
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (ids * SAMPLE_MULT) % SAMPLE_MOD < threshold
+        ids_u = ids.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        keep = (ids_u * SAMPLE_MULT) % SAMPLE_MOD < threshold
         t = batch.filter(pa.array(keep))
         n_tok = pc.cast(pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64())
         return pa.table({"doc_id": t.column("doc_id"), "n_tokens": n_tok})
@@ -1039,7 +1095,7 @@ SAMPLE_DOCUMENTS_ORACLE = r"""
 SELECT doc_id,
   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 < 214748364"""
+WHERE (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296 < 214748364"""
 
 
 VOCAB_CAP = 65536  # unigram model vocabulary cap; tail pools into OOV
@@ -1053,7 +1109,14 @@ def q_unigram_logprob(sf_dir: str, vocab_cap: int = VOCAB_CAP) -> ray.data.Datas
     top ``vocab_cap`` tokens by (count desc, token) form the vocabulary
     and the tail pools into one OOV bucket; (2) the (vocab, logp)
     table broadcasts once and documents stream through a vectorized
-    lookup + per-doc mean."""
+    lookup + per-doc mean.
+
+    Float parity: per-token surprisal is quantized to integer
+    micro-nats (``floor(s * 1e6 + 0.5)``, identical expression in the
+    SQL mirror) BEFORE summing, so the per-doc sum is an exact integer
+    sum — order-independent on both sides — and libm 1-ulp log noise is
+    absorbed by the quantization. The final mean divides the exact
+    integer sum once and rounds with the np.round/sql_rn pair."""
 
     def freq_partial(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
@@ -1101,9 +1164,15 @@ def q_unigram_logprob(sf_dir: str, vocab_cap: int = VOCAB_CAP) -> ray.data.Datas
             hit = ((pos < len(self.vocab)) & (self.vocab[pos_c] == words)
                    if len(self.vocab) else np.zeros(len(words), bool))
             lp = np.where(hit, self.logp[pos_c] if len(self.vocab) else 0.0, self.oov)
+            # integer micro-nat quantization (order-robust exact sum;
+            # values stay < 2^53 so the float bincount accumulate is
+            # exact) — mirrored token-for-token in the SQL oracle
+            s_int = np.floor(-lp * 1e6 + 0.5)
             n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
-            sums = np.bincount(doc_of, weights=-lp, minlength=n)
-            mean = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
+            sums = np.bincount(doc_of, weights=s_int, minlength=n)
+            mean = np.where(n_tok > 0,
+                            sums / (np.maximum(n_tok, 1).astype(np.float64) * 1e6),
+                            0.0)
             return pa.table({
                 "doc_id": batch.column("doc_id"),
                 "n_tokens": pa.array(n_tok, pa.int64()),
@@ -1128,11 +1197,14 @@ ranked AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM freq),
 oov AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS oc FROM ranked WHERE rn > 65536),
 scored AS (
   SELECT tok.doc_id,
-    -ln(CASE WHEN r.rn <= 65536 THEN r.c / tot.n ELSE oov.oc / tot.n END) AS s
+    CAST(floor((0.0 - ln(CASE WHEN r.rn <= 65536 THEN r.c / tot.n ELSE oov.oc / tot.n END)) * 1000000.0 + 0.5) AS BIGINT) AS s_int
   FROM tok JOIN ranked r ON r.t = tok.t CROSS JOIN tot CROSS JOIN oov
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n_tokens, round(avg(s), 6) AS mean_surprisal
+  SELECT doc_id, count(*) AS n_tokens,
+    """ + sql_rn(
+    "CAST(sum(s_int) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6
+) + r""" AS mean_surprisal
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
