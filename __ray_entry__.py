@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datum_transform_navd88": q.q_datum_transform_navd88,
         "datum_transform_itrf": q.q_datum_transform_itrf,
         "transform_projected": q.q_transform_projected,
+        "transform_stateplane": q.q_transform_stateplane,
         "hot_tiles": q.q_hot_tiles,
         "transform_summary": q.q_transform_summary,
         "knn_grid_node": q.q_knn_grid_node,
@@ -93,8 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": textops.q_unigram_logprob,
         "sample_documents": textops.q_sample_documents,
         "dedup_clusters_embedding": ann.q_dedup_clusters_embedding,
-        "html_stats": textops.q_html_stats,
-        "distinct_hosts": textops.q_distinct_hosts,
         "top_hosts": textops.q_top_hosts,
         "ann_topk": ann.q_ann_topk,
         "neardup_embedding": ann.q_neardup_embedding,
@@ -107,7 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transform_summary its per-region aggregate, knn_grid_node
         # covers _nodes, quality_score covers quality_filter,
         # token_dedup_stats covers token_count, tests byte-check
-        # text_passthrough).
+        # text_passthrough, top_hosts covers distinct_hosts' host
+        # extraction+grouping, html_extract covers html_stats' pruned
+        # binary read with a stronger transform).
+        "html_stats": textops.q_html_stats,
+        "distinct_hosts": textops.q_distinct_hosts,
         "region_counts": q.q_region_counts,
         "uncertainty_table": q.q_uncertainty_table,  # composed in every datum_transform unc
         "tile_counts": q.q_tile_counts,
@@ -160,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "datum_transform_navd88": oracle.q_datum_transform_navd88(fx),
         "datum_transform_itrf": oracle.q_datum_transform_itrf(fx),
         "transform_projected": oracle.q_transform_projected(fx),
+        "transform_stateplane": oracle.q_transform_stateplane(fx),
         "hot_tiles": oracle.q_hot_tiles(fx),
         "uncertainty_table": oracle.q_uncertainty_table(fx),
         "neardup_embedding": oracle.q_neardup_embedding(fx),

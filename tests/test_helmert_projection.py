@@ -165,6 +165,112 @@ def test_utm_roundtrip_property():
     check()
 
 
+# VDatum-derived state-plane goldens from the reference's validation
+# tables (reference/vyperdatum/vdatum_validation.py:1399-1400 EPSG:3631,
+# :1411-1412 EPSG:3673, :1423-1424 EPSG:3495; asserted there at 0.1 m —
+# NC/CA agree with the EPSG-exact LCC here to sub-mm, TX to 2.5 cm,
+# inside VDatum's own output precision).
+_SP_GOLDENS = {
+    3631: ([-75.73890, -75.73880, -75.73870], [35.39590, 35.39580, 35.39570],
+           [905770.005, 905779.448, 905788.891],
+           [187445.080, 187434.291, 187423.502], 0.005),
+    3673: ([-95.63490, -95.63480, -95.63470], [28.38690, 28.38680, 28.38670],
+           [929761.899, 929772.015, 929782.130],
+           [4066097.205, 4066086.409, 4066075.613], 0.05),
+    3495: ([-122.34990, -122.34980, -122.34970], [35.79190, 35.79180, 35.79170],
+           [1697216.653, 1697225.301, 1697233.949],
+           [556165.351, 556153.947, 556142.542], 0.005),
+}
+
+
+def test_lcc_stateplane_goldens():
+    from vyperdatum_ray.core.projection import lcc_forward, lcc_inverse
+
+    for epsg, (lon, lat, ge, gn, tol) in _SP_GOLDENS.items():
+        lon, lat = np.array(lon), np.array(lat)
+        e, n_ = lcc_forward(lon, lat, epsg)
+        assert np.abs(e - np.array(ge)).max() < tol
+        assert np.abs(n_ - np.array(gn)).max() < tol
+        rlon, rlat = lcc_inverse(e, n_, epsg)
+        np.testing.assert_array_equal(rlon, lon)
+        np.testing.assert_array_equal(rlat, lat)
+
+
+def test_lcc_inverse_sql_parity_exact():
+    """The SQL inverse mirror produces bit-identical recovered
+    coordinates for every registered zone over a dense coordinate
+    grid."""
+    from vyperdatum_ray.core.projection import (STATE_PLANE_LCC, lcc_forward,
+                                                lcc_inverse,
+                                                sql_lcc_inverse_ctes)
+
+    areas = {3631: (-78.5, -74.0, 33.5, 36.5), 3673: (-97.5, -94.0, 27.0, 30.0),
+             3495: (-123.0, -117.0, 34.5, 37.5)}
+    for epsg in STATE_PLANE_LCC:
+        lo1, lo2, la1, la2 = areas[epsg]
+        rng = np.random.default_rng(epsg)
+        lon = np.round(rng.uniform(lo1, lo2, 3000), 5)
+        lat = np.round(rng.uniform(la1, la2, 3000), 5)
+        e, n_ = lcc_forward(lon, lat, epsg)
+        rlon, rlat = lcc_inverse(e, n_, epsg)
+        con = duckdb.connect()
+        con.register("pts", pd.DataFrame(
+            {"i": np.arange(len(e)), "easting": e, "northing": n_}))
+        sql = f"""WITH {sql_lcc_inverse_ctes('sp', 'pts', 'easting', 'northing',
+                                             epsg, 'i')}
+SELECT i, rlon, rlat FROM splcc ORDER BY i"""
+        df = con.execute(sql).df()
+        assert (df["rlon"].to_numpy() == rlon).all(), epsg
+        assert (df["rlat"].to_numpy() == rlat).all(), epsg
+
+
+def test_lcc_roundtrip_property():
+    """Any 5-decimal coordinate in the NC zone's neighborhood survives
+    forward+inverse exactly (inverse iteration error far below the 1e-7
+    quantization)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vyperdatum_ray.core.projection import lcc_forward, lcc_inverse
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.integers(-7800000, -7200000).map(lambda v: v / 1e5),
+        lat=st.integers(3300000, 3800000).map(lambda v: v / 1e5),
+    )
+    def check(lon, lat):
+        e, n_ = lcc_forward(np.array([lon]), np.array([lat]), 3631)
+        rlon, rlat = lcc_inverse(e, n_, 3631)
+        assert rlon[0] == lon and rlat[0] == lat
+
+    check()
+
+
+def test_parse_crs_stateplane_and_points_api():
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.core.crs import parse_crs
+    from vyperdatum_ray.core.projection import lcc_forward
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.points import transform_points
+
+    sp = parse_crs(3631)
+    assert sp.kind == "lcc" and sp.zone == 3631
+    t = parse_crs(("EPSG:3673", "navd88"))
+    assert t.kind == "lcc" and t.vertical == "navd88"
+    with pytest.raises(ValueError):
+        parse_crs(3632)  # unregistered state-plane zone still rejected
+
+    cat = Catalog.from_dir(ensure_fixtures("/root/testdata/sf0.001")["catalog_dir"])
+    lon = np.array([-75.20, -74.35, -73.30])
+    lat = np.array([35.00, 35.65, 34.30])
+    e, n_ = lcc_forward(lon, lat, 3631)
+    _, _, z_geo, _, r_geo = transform_points(cat, lon, lat)
+    gx, gy, z_sp, _, r_sp = transform_points(cat, e, n_, input_crs="EPSG:3631")
+    np.testing.assert_array_equal(z_geo, z_sp)
+    np.testing.assert_array_equal(r_geo, r_sp)
+    np.testing.assert_array_equal(gx, lon)
+
+
 def test_helmert_hop_z_linearity():
     """Property: the frame hop is locally linear in input height — a
     +10 m input z moves output z by 10 m within ~1e-3 m (the scale+

@@ -116,6 +116,103 @@ def utm_inverse(easting, northing, zone: int):
             np.round(phi * RAD2DEG, LL_DECIMALS))
 
 
+# ------------------------------------------- Lambert conformal conic 2SP ---
+#
+# State-plane horizontal input CRS (SURVEY M1 / VERDICT r2 top item): the
+# reference's golden suite transforms every region's points in geographic,
+# state-plane AND UTM horizontal CRSs (``reference/tests/test_core.py:
+# 130-154,231-244``; state-plane goldens ``vdatum_validation.py:1399-1400``
+# EPSG:3631 NC, ``:1411-1412`` EPSG:3673 TX South Central, ``:1423-1424``
+# EPSG:3495 CA zone 4). The LCC 2SP forward/inverse below follow the public
+# Snyder / EPSG Guidance Note 7-2 formulas on GRS80, validated against the
+# reference's VDatum-derived state-plane goldens in
+# tests/test_helmert_projection.py.
+
+
+class LCCZone:
+    """One SPCS83 LCC 2SP zone: EPSG-published defining parameters in,
+    derived projection scalars (n, aF, rF) precomputed once — the SQL
+    mirror embeds the derived scalars via repr so both sides share the
+    exact same doubles."""
+
+    def __init__(self, name: str, lat1_deg: float, lat2_deg: float,
+                 lat0_deg: float, lon0_deg: float,
+                 false_easting: float, false_northing: float):
+        self.name = name
+        self.false_easting = false_easting
+        self.false_northing = false_northing
+        self.lam0 = lon0_deg * DEG2RAD
+
+        def _m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - E2 * s * s)
+
+        def _t(phi):
+            s = np.sin(phi)
+            return (np.sin(np.pi / 4.0 - phi / 2.0) / np.cos(np.pi / 4.0 - phi / 2.0)
+                    ) / np.exp((E_ / 2.0) * np.log((1.0 - E_ * s) / (1.0 + E_ * s)))
+
+        p1 = lat1_deg * DEG2RAD
+        p2 = lat2_deg * DEG2RAD
+        p0 = lat0_deg * DEG2RAD
+        m1, m2 = _m(p1), _m(p2)
+        t1, t2 = _t(p1), _t(p2)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        f_cap = m1 / (self.n * np.exp(self.n * np.log(t1)))
+        self.aF = A * f_cap
+        self.rF = self.aF * np.exp(self.n * np.log(_t(p0)))
+
+
+def _dms(d: int, m: int) -> float:
+    return d + m / 60.0
+
+
+# SPCS83 metric zones the reference's goldens exercise (EPSG-published
+# 2SP parameters; SPCS83 is defined in meters so false origins are exact)
+STATE_PLANE_LCC = {
+    3631: LCCZone("NC",  _dms(36, 10), _dms(34, 20), _dms(33, 45), -79.0,
+                  609601.22, 0.0),
+    3673: LCCZone("TX-SC", _dms(30, 17), _dms(28, 23), _dms(27, 50), -99.0,
+                  600000.0, 4000000.0),
+    3495: LCCZone("CA-4", _dms(37, 15), 36.0, _dms(35, 20), -119.0,
+                  2000000.0, 500000.0),
+}
+
+
+def lcc_forward(lon, lat, epsg: int):
+    """Geographic NAD83 -> state-plane LCC (meters), quantized 0.1 mm."""
+    z = STATE_PLANE_LCC[epsg]
+    phi = lat * DEG2RAD
+    s = np.sin(phi)
+    t = (np.sin(np.pi / 4.0 - phi / 2.0) / np.cos(np.pi / 4.0 - phi / 2.0)
+         ) / np.exp((E_ / 2.0) * np.log((1.0 - E_ * s) / (1.0 + E_ * s)))
+    r = z.aF * np.exp(z.n * np.log(t))
+    th = z.n * (lon * DEG2RAD - z.lam0)
+    easting = z.false_easting + r * np.sin(th)
+    northing = z.false_northing + z.rF - r * np.cos(th)
+    return np.round(easting, E_DECIMALS), np.round(northing, E_DECIMALS)
+
+
+def lcc_inverse(easting, northing, epsg: int):
+    """State-plane LCC (meters) -> geographic NAD83, quantized 1e-7 deg.
+    Fixed 5-iteration conformal-latitude recovery (sub-1e-10 deg
+    converged) — the iteration count is part of the defined semantics so
+    the SQL mirror can unroll it; atan is spelled atan2(x, 1) on both
+    sides."""
+    z = STATE_PLANE_LCC[epsg]
+    de = easting - z.false_easting
+    dn = z.rF - (northing - z.false_northing)
+    tp = np.exp((1.0 / z.n) * np.log(np.sqrt(de * de + dn * dn) / z.aF))
+    phi = np.pi / 2.0 - 2.0 * np.arctan2(tp, 1.0)
+    for _ in range(5):
+        es = E_ * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan2(
+            tp * np.exp((E_ / 2.0) * np.log((1.0 - es) / (1.0 + es))), 1.0)
+    lam = np.arctan2(de, dn) / z.n + z.lam0
+    return (np.round(lam * RAD2DEG, LL_DECIMALS),
+            np.round(phi * RAD2DEG, LL_DECIMALS))
+
+
 # ----------------------------------------------------------- SQL mirror ---
 
 
@@ -129,6 +226,62 @@ def _s_cosh(x: str) -> str:
 
 def _s_atanh(x: str) -> str:
     return f"(0.5 * ln((1.0 + ({x})) / (1.0 - ({x}))))"
+
+
+def sql_lcc_inverse_ctes(prefix: str, src: str, easting: str, northing: str,
+                         epsg: int, key_cols: str) -> str:
+    """CTE chain mirroring ``lcc_inverse`` for a registered state-plane
+    zone: emits ``{prefix}lcc(key_cols, rlon, rlat)`` — the recovered
+    geographic coordinates, quantized exactly as the numpy kernel. All
+    per-zone scalars (n, aF, rF, lam0) are computed ONCE in Python and
+    repr-embedded, so only the per-point expression tree needs parity;
+    intermediates are vl_-prefixed against caller column collisions.
+    (The FORWARD projection never runs in SQL: the state-plane input
+    dataset is materialized by the fixture generator, so both sides read
+    identical projected doubles — see fixtures._write_stateplane.)"""
+    z = STATE_PLANE_LCC[epsg]
+    r2d = "(180.0 / pi())"
+    e_ = repr(float(E_))
+    eh = repr(float(E_ / 2.0))
+    n_ = repr(float(z.n))
+    af = repr(float(z.aF))
+    rf = repr(float(z.rF))
+    lam0 = repr(float(z.lam0))
+    fe = repr(float(z.false_easting))
+    fn = repr(float(z.false_northing))
+
+    # 5 unrolled inverse-latitude iterations, same recurrence as
+    # lcc_inverse (atan spelled atan2(x, 1.0) on both sides)
+    phi_iter = ""
+    prev_cte = f"{prefix}li0"
+    for k in range(1, 6):
+        es = f"{e_} * sin(vl_phi{k - 1})"
+        phi_iter += f""",
+{prefix}li{k} AS (
+  SELECT *, pi() / 2.0 - 2.0 * atan2(vl_tp * exp({eh} * ln((1.0 - {es}) / (1.0 + {es}))), 1.0) AS vl_phi{k}
+  FROM {prev_cte}
+)"""
+        prev_cte = f"{prefix}li{k}"
+
+    return f"""
+{prefix}l0 AS (
+  SELECT {key_cols}, ({easting}) - {fe} AS vl_de,
+    {rf} - (({northing}) - {fn}) AS vl_dn
+  FROM {src}
+),
+{prefix}l1 AS (
+  SELECT *, exp((1.0 / {n_}) * ln(sqrt(vl_de * vl_de + vl_dn * vl_dn) / {af})) AS vl_tp
+  FROM {prefix}l0
+),
+{prefix}li0 AS (
+  SELECT *, pi() / 2.0 - 2.0 * atan2(vl_tp, 1.0) AS vl_phi0 FROM {prefix}l1
+){phi_iter},
+{prefix}lcc AS (
+  SELECT {key_cols},
+    {sql_rn(f"(atan2(vl_de, vl_dn) / {n_} + {lam0}) * {r2d}", LL_DECIMALS)} AS rlon,
+    {sql_rn(f"vl_phi5 * {r2d}", LL_DECIMALS)} AS rlat
+  FROM {prefix}li5
+)"""
 
 
 def sql_utm_roundtrip_ctes(prefix: str, src: str, lon: str, lat: str,

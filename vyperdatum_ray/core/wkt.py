@@ -128,6 +128,81 @@ GEOGRAPHIC_WKT = (
 )
 
 
+def projected_wkt(kind: str, zone: int) -> str:
+    """Minimal PROJCRS WKT for the engine's projected horizontal CRSs
+    (UTM north zone number, or a registered SPCS83 LCC zone's EPSG
+    code) with the CRS-level ``ID["EPSG",...]`` that ``parse_crs``
+    splits on — the same self-describing contract the reference keeps
+    via pyproj (vypercrs.py:685-812)."""
+    if kind == "utm":
+        epsg = 6329 + zone
+        name = f"NAD83(2011) / UTM zone {zone}N"
+        conv = ('CONVERSION["UTM",METHOD["Transverse Mercator"],'
+                f'PARAMETER["Longitude of natural origin",{-183 + 6 * zone}]]')
+    elif kind == "lcc":
+        from vyperdatum_ray.core.projection import STATE_PLANE_LCC
+
+        epsg = zone
+        name = f"NAD83 / SPCS83 {STATE_PLANE_LCC[zone].name}"
+        conv = ('CONVERSION["SPCS83",'
+                'METHOD["Lambert Conic Conformal (2SP)"]]')
+    else:
+        raise ValueError(f"no projected WKT for kind {kind!r}")
+    return (
+        f'PROJCRS["{name}",BASEGEOGCRS["NAD83(2011)",'
+        f'DATUM["NAD83 (National Spatial Reference System 2011)"]],{conv},'
+        f'CS[Cartesian,2],AXIS["easting (X)",east],AXIS["northing (Y)",north],'
+        f'LENGTHUNIT["metre",1],ID["EPSG",{epsg}]]'
+    )
+
+
+def _top_level_elements(wkt: str) -> list[str]:
+    """Split a WKT node's body into its depth-1 elements (bracket- and
+    quote-aware; WKT quotes escape as doubled '""')."""
+    start = wkt.index("[") + 1
+    body = wkt[start:wkt.rindex("]")]
+    out, depth, in_q, cur = [], 0, False, []
+    for ch in body:
+        if ch == '"':
+            in_q = not in_q
+        if not in_q:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def split_compound_wkt(wkt: str) -> tuple[str | None, str | None]:
+    """COMPOUNDCRS -> (horizontal sub-WKT, vertical sub-WKT) — the
+    reference's compound split (vypercrs.py:685-812) without pyproj:
+    the depth-1 elements starting with GEOGCRS/PROJCRS and VERTCRS."""
+    horiz = vert = None
+    for el in _top_level_elements(wkt):
+        if el.startswith(("GEOGCRS[", "PROJCRS[", "GEOGCS[", "PROJCS[")):
+            horiz = el
+        elif el.startswith("VERTCRS["):
+            vert = el
+    return horiz, vert
+
+
+def wkt_epsg_id(wkt: str) -> int | None:
+    """The CRS-level ``ID["EPSG",n]`` / ``AUTHORITY["EPSG","n"]`` of a
+    WKT node (depth-1 only, so conversion/datum sub-ids don't match)."""
+    for el in _top_level_elements(wkt):
+        m = re.match(r'(?:ID|AUTHORITY)\["EPSG",\s*"?(\d+)"?\]', el)
+        if m:
+            return int(m.group(1))
+    return None
+
+
 def vertical_datum_to_wkt(
     datum: str,
     bbox: tuple[float, float, float, float],

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 5  # bump to invalidate caches
+FIXTURE_VERSION = 6  # bump to invalidate caches (v6: + stateplane table)
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
@@ -401,11 +401,41 @@ def _write_pages(out_dir: str, sf_name: str, n: int) -> list[str]:
         p = os.path.join(pages_dir, f"part-{s:04d}.parquet")
         pq.write_table(sl, p)
         paths.append(p)
+    _write_stateplane(out_dir, url, lon, lat, src, rows_per_shard)
     return paths
+
+
+def _write_stateplane(out_dir: str, url, lon, lat, src, rows_per_shard: int):
+    """State-plane INPUT dataset (the reference's stateplane golden
+    shape, tests/test_core.py:130-154): the geocodable pages' points
+    forward-projected ONCE into NC SPCS83 (EPSG:3631, the zone the
+    fixture area sits in) and stored as parquet — engine and oracle
+    both read these exact doubles, so the projected input is
+    bit-identical on both sides by construction (the forward kernel is
+    golden-validated in tests; only the inverse runs inside queries)."""
+    from vyperdatum_ray.core.projection import lcc_forward
+
+    sp_dir = os.path.join(out_dir, "stateplane")
+    os.makedirs(sp_dir, exist_ok=True)
+    m = src != 0
+    e, nn = lcc_forward(lon[m], lat[m], 3631)
+    t = pa.table({
+        "url": pa.array(url[m], pa.string()),
+        "easting": pa.array(e, pa.float64()),
+        "northing": pa.array(nn, pa.float64()),
+    })
+    for s in range(max(1, (t.num_rows + rows_per_shard - 1) // rows_per_shard)):
+        pq.write_table(t.slice(s * rows_per_shard, rows_per_shard),
+                       os.path.join(sp_dir, f"part-{s:04d}.parquet"))
 
 
 def pages_paths(sf_dir: str) -> list[str]:
     return ensure_fixtures(sf_dir)["pages"]
+
+
+def stateplane_dir(sf_dir: str) -> str:
+    ensure_fixtures(sf_dir)
+    return os.path.join(fixture_dir(sf_dir), "stateplane")
 
 
 def catalog_dir(sf_dir: str) -> str:

@@ -449,6 +449,27 @@ JOIN uutm u ON u.url = g.url
 WHERE w.rn = 1"""
 
 
+def q_transform_stateplane(fx: str) -> str:
+    """Mirror of queries.q_transform_stateplane: read the fixture's
+    projected state-plane dataset (bit-identical parquet doubles on
+    both sides), recover geographic coordinates with the mirrored LCC
+    2SP inverse (per-zone scalars repr-embedded), then the standard
+    membership + transform on the recovered coordinates."""
+    from vyperdatum_ray.core.projection import sql_lcc_inverse_ctes
+
+    return f"""WITH
+spin AS (SELECT * FROM read_parquet('{fx}/stateplane/*.parquet')),
+{sql_lcc_inverse_ctes("sp", "spin", "easting", "northing", 3631,
+                      "url, easting, northing")},
+geo AS (SELECT url, easting, northing, rlon AS lon, rlat AS lat FROM splcc),
+{_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT g.url, g.easting, g.northing, g.lon, g.lat,
+  w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w
+JOIN geo g ON g.url = w.url
+WHERE w.rn = 1"""
+
+
 def q_csv_roundtrip(fx: str) -> str:
     """Per-region aggregate that the CSV sink->source roundtrip must
     reproduce: same zwin as the parquet path (CSV round-trips doubles

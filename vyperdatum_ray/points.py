@@ -38,20 +38,23 @@ def transform_points(
     """Transform coordinate arrays; returns (x, y, z, unc, region_index).
 
     ``input_crs`` (optional): EPSG code / 'EPSG:nnnn' / (horizontal,
-    vertical) tuple — UTM inputs are inverse-projected first
-    (core/projection.py); unsupported CRSs raise (core/crs.py) instead
-    of being silently treated as geographic NAD83."""
+    vertical) tuple / compound WKT string — UTM and state-plane (LCC)
+    inputs are inverse-projected first (core/projection.py);
+    unsupported CRSs raise (core/crs.py) instead of being silently
+    treated as geographic NAD83."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if input_crs is not None:
         from vyperdatum_ray.core.crs import parse_crs
-        from vyperdatum_ray.core.projection import utm_inverse
+        from vyperdatum_ray.core.projection import lcc_inverse, utm_inverse
 
         info = parse_crs(input_crs)
         if info.vertical != "ellipse":
             from_datum = info.vertical
         if info.kind == "utm":
             x, y = utm_inverse(x, y, info.zone)
+        elif info.kind == "lcc":
+            x, y = lcc_inverse(x, y, info.zone)
     n = len(x)
     zin = np.zeros(n) if z is None else np.asarray(z, dtype=np.float64)
     nan_mask = np.isnan(x) | np.isnan(y)
