@@ -32,19 +32,17 @@ _URL_PATH_NAMED = r"/@(?P<lat>-?\d+\.\d+),(?P<lon>-?\d+\.\d+)"
 _TEXT_NAMED = r"(?P<lat>\d+\.\d+) (?P<ns>[NS]), (?P<lon>\d+\.\d+) (?P<ew>[EW])"
 
 
-def _extract_floats(col, pattern: str, fields: tuple[str, ...]):
-    """Run extract_regex and cast the named groups to float64 numpy
-    (NaN where unmatched); also return the match mask."""
-    res = pc.extract_regex(col, pattern)
+def _extract_on(col, idx: np.ndarray, pattern: str, fields: tuple[str, ...]):
+    """Run extract_regex on the ``idx``-selected rows only; returns
+    (matched-subset mask, per-field float64 values for the subset, the
+    raw StructArray). The caller scatters back by ``idx[mask]``."""
+    sub = col.take(pa.array(idx, pa.int64()))
+    res = pc.extract_regex(sub, pattern)
     if isinstance(res, pa.ChunkedArray):
         res = res.combine_chunks()
-    matched_arrow = pc.is_valid(res)
-    matched = matched_arrow.to_numpy(zero_copy_only=False)
-    out = []
-    for f in fields:
-        raw = pc.if_else(matched_arrow, res.field(f), pa.scalar(None, pa.string()))
-        vals = pc.cast(raw, pa.float64()).to_numpy(zero_copy_only=False)
-        out.append(vals)
+    matched = pc.is_valid(res).to_numpy(zero_copy_only=False)
+    out = [pc.cast(res.field(f), pa.float64()).to_numpy(zero_copy_only=False)
+           for f in fields]
     return matched, out, res
 
 
@@ -53,33 +51,54 @@ def geocode_arrays(url, text):
 
     Returns float64 numpy lat/lon (NaN where not geocodable) and an
     object-dtype source array ('url_query' | 'url_path' | 'text' | None).
-    """
+
+    Bandwidth shape: each capture-group regex runs only on the rows a
+    cheap LITERAL substring prefilter selects ('lat=' / '/@' /
+    ' N, '|' S, ' — every regex match necessarily contains its literal,
+    so the prefilter is lossless). The substring kernels stream bytes at
+    memcpy-like speed while RE2 capture extraction is the expensive
+    pass, so per-byte cost — the stage that saturated single-box memory
+    bandwidth past ~16 cores — drops to the candidate subsets (~27% /
+    18% / 15% of rows on the fixture mix)."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
     n = len(url)
     lat = np.full(n, np.nan, dtype=np.float64)
     lon = np.full(n, np.nan, dtype=np.float64)
     src = np.zeros(n, dtype=np.int8)
 
-    m, (qlat, qlon), _ = _extract_floats(url, _URL_QUERY_NAMED, ("lat", "lon"))
-    lat[m] = qlat[m]
-    lon[m] = qlon[m]
-    src[m] = 1
+    cand_q = pc.match_substring(url, "lat=").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(cand_q)
+    if len(idx):
+        m, (qlat, qlon), _ = _extract_on(url, idx, _URL_QUERY_NAMED, ("lat", "lon"))
+        sel = idx[m]
+        lat[sel] = qlat[m]
+        lon[sel] = qlon[m]
+        src[sel] = 1
 
-    m2, (plat, plon), _ = _extract_floats(url, _URL_PATH_NAMED, ("lat", "lon"))
-    m2 &= src == 0
-    lat[m2] = plat[m2]
-    lon[m2] = plon[m2]
-    src[m2] = 2
+    cand_p = pc.match_substring(url, "/@").to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(cand_p & (src == 0))
+    if len(idx):
+        m, (plat, plon), _ = _extract_on(url, idx, _URL_PATH_NAMED, ("lat", "lon"))
+        sel = idx[m]
+        lat[sel] = plat[m]
+        lon[sel] = plon[m]
+        src[sel] = 2
 
-    m3, (tlat, tlon), res = _extract_floats(text, _TEXT_NAMED, ("lat", "lon"))
-    m3 &= src == 0
-    if m3.any():
+    text_nn = pc.coalesce(text, "")
+    cand_t = pc.or_(pc.match_substring(text_nn, " N, "),
+                    pc.match_substring(text_nn, " S, ")).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(cand_t & (src == 0))
+    if len(idx):
+        m, (tlat, tlon), res = _extract_on(text_nn, idx, _TEXT_NAMED, ("lat", "lon"))
         ns = res.field("ns").to_numpy(zero_copy_only=False)
         ew = res.field("ew").to_numpy(zero_copy_only=False)
-        sign_lat = np.where(ns == "S", -1.0, 1.0)
-        sign_lon = np.where(ew == "W", -1.0, 1.0)
-        lat[m3] = (tlat * sign_lat)[m3]
-        lon[m3] = (tlon * sign_lon)[m3]
-        src[m3] = 3
+        sel = idx[m]
+        lat[sel] = np.where(ns[m] == "S", -tlat[m], tlat[m])
+        lon[sel] = np.where(ew[m] == "W", -tlon[m], tlon[m])
+        src[sel] = 3
 
     src_str = np.array([None, "url_query", "url_path", "text"], dtype=object)[src]
     return lat, lon, src_str
