@@ -110,3 +110,45 @@ def test_resolve_band_roles():
     # missing roles -> None
     r = resolve_band_roles(["band_a", "band_b"])
     assert r == {"elevation": None, "uncertainty": None, "contributor": None}
+
+
+def test_external_region_end_to_end_overwrite():
+    """The parquet-supplied external region (fixtures EXT_REGION) wins
+    overlaps with SYNcoastA via the appended-last catalog-order rule,
+    and points covered ONLY by it gain coverage (reference
+    core.py:671-764 external-region flow, pure data — no code)."""
+    import os
+
+    import numpy as np
+
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.core.config import register_external_region
+    from vyperdatum_ray.fixtures import EXT_REGION, ensure_fixtures, fixture_dir
+    from vyperdatum_ray.points import transform_points
+
+    sf = "/root/testdata/sf0.001"
+    ensure_fixtures(sf)
+    base = Catalog.from_dir(fixture_dir(sf))
+    ext = Catalog.from_dir(os.path.join(fixture_dir(sf), "external"))
+    cat2 = register_external_region(
+        base, ext.regions[0], ext.grids, ext.sigmas[ext.regions[0].name])
+    assert cat2.region_names[-1] == "EXTuser_9901"
+    assert cat2.regions[-1].ord == len(base.regions)
+
+    # point inside the EXT/SYNcoastA overlap: base assigns A (ord 0),
+    # extended assigns the external region (ord 4) with its own z/unc
+    lon = np.array([EXT_REGION[1] + 0.25])
+    lat = np.array([EXT_REGION[2] + 0.20])
+    _, _, z_b, unc_b, r_b = transform_points(base, lon, lat)
+    _, _, z_e, unc_e, r_e = transform_points(cat2, lon, lat)
+    assert r_b[0] == 0 and r_e[0] == len(base.regions)
+    assert np.isfinite(z_e[0]) and z_e[0] != z_b[0]
+    assert unc_e[0] != unc_b[0]
+
+    # point covered ONLY by the external region (west of A's hexagon)
+    lon2 = np.array([EXT_REGION[1] - 0.40])
+    lat2 = np.array([EXT_REGION[2] - 0.25])
+    _, _, z_b2, _, r_b2 = transform_points(base, lon2, lat2)
+    _, _, z_e2, _, r_e2 = transform_points(cat2, lon2, lat2)
+    assert r_b2[0] == -1 and np.isnan(z_b2[0])
+    assert r_e2[0] == len(base.regions) and np.isfinite(z_e2[0])

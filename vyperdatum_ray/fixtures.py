@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 6  # bump to invalidate caches (v6: + stateplane table)
+FIXTURE_VERSION = 7  # bump to invalidate caches (v7: + external region)
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
@@ -108,6 +108,7 @@ def ensure_fixtures(sf_dir: str) -> dict:
     sf_name = sf_name_of(sf_dir)
     n = n_pages_for(sf_name)
     _write_catalog(tmp_dir)
+    _write_external_region(tmp_dir)
     page_files = _write_pages(tmp_dir, sf_name, n)
     raster_meta = _write_raster(tmp_dir, sf_name)
     manifest = {
@@ -248,6 +249,79 @@ def _write_catalog(out_dir: str) -> None:
         ),
         os.path.join(out_dir, "sigma_geoid.parquet"),
     )
+
+
+# ---------------------------------------------------- external region ---
+
+# User-supplied region (SURVEY §2.9 / reference core.py:671-764): a
+# convex polygon OVERLAPPING SYNcoastA so the appended-last
+# catalog-order overwrite is exercised end-to-end. Reuses the base
+# sgeoid12x geoid; its own tss/tidal grids and sigma row. region_ord is
+# written as len(REGION_SPECS) — exactly the ordinal
+# register_external_region assigns when appending to the base catalog.
+EXT_REGION = ("EXTuser_9901", -75.55, 34.75, 0.55, "sgeoid12x", "NAD83(2011)")
+EXT_SIGMA = dict(tss=0.014, mhhw=0.02, mhw=0.018, mlw=0.022, mllw=0.028,
+                 dtl=0.026, mtl=0.015)
+
+
+def _write_external_region(out_dir: str) -> None:
+    """Catalog-as-data external region under ``external/``: the same
+    five parquet schemas as the base catalog, so the engine ingests it
+    with ``Catalog.from_dir`` + ``register_external_region`` and the
+    SQL oracle UNIONs the tables."""
+    ext_dir = os.path.join(out_dir, "external")
+    os.makedirs(ext_dir, exist_ok=True)
+    rng = np.random.default_rng(np.random.SeedSequence([42, 9901]))
+    name, cx, cy, r, geoid, frame = EXT_REGION
+    ordinal = len(REGION_SPECS)
+    verts = hexagon(cx, cy, r)
+    cat_rows = [dict(region=name, region_ord=ordinal, geoid_name=geoid,
+                     geoid_frame=frame,
+                     min_x=verts[:, 0].min(), min_y=verts[:, 1].min(),
+                     max_x=verts[:, 0].max(), max_y=verts[:, 1].max(),
+                     polygon_wkb=polygon_to_wkb(verts))]
+    edge_rows = []
+    closed = np.vstack([verts, verts[:1]])
+    for e in range(6):
+        (px0, py0), (px1, py1) = closed[e], closed[e + 1]
+        ax = py1 - py0
+        ay = -(px1 - px0)
+        edge_rows.append(dict(region=name, region_ord=ordinal, edge_ord=e,
+                              ax=ax, ay=ay, b=ax * px0 + ay * py0))
+    meta_rows = []
+    val_key, val_ix, val_iy, val_v = [], [], [], []
+    x0g, y0g = verts[:, 0].min() - GRID_MARGIN, verts[:, 1].min() - GRID_MARGIN
+    x1g, y1g = verts[:, 0].max() + GRID_MARGIN, verts[:, 1].max() + GRID_MARGIN
+    for surface in SURFACES:
+        coeffs = _grid_coeffs(rng, surface)
+        dx = (x1g - x0g) / (GRID_N - 1)
+        dy = (y1g - y0g) / (GRID_N - 1)
+        xs = x0g + dx * np.arange(GRID_N)
+        ys = y0g + dy * np.arange(GRID_N)
+        vals = _grid_field(xs, ys, coeffs, cx, cy)
+        meta_rows.append(dict(grid_key=f"{name}/{surface}", origin_x=x0g,
+                              origin_y=y0g, dx=dx, dy=dy, nx=GRID_N, ny=GRID_N))
+        iy, ix = np.nonzero(~np.isnan(vals))
+        val_key.extend([f"{name}/{surface}"] * len(ix))
+        val_ix.append(ix.astype(np.int32))
+        val_iy.append(iy.astype(np.int32))
+        val_v.append(vals[iy, ix])
+    pq.write_table(pa.Table.from_pylist(cat_rows),
+                   os.path.join(ext_dir, "region_catalog.parquet"))
+    pq.write_table(pa.Table.from_pylist(edge_rows),
+                   os.path.join(ext_dir, "region_edges.parquet"))
+    pq.write_table(pa.Table.from_pylist(meta_rows),
+                   os.path.join(ext_dir, "grid_meta.parquet"))
+    pq.write_table(
+        pa.table({"grid_key": pa.array(val_key, pa.string()),
+                  "ix": np.concatenate(val_ix), "iy": np.concatenate(val_iy),
+                  "v": np.concatenate(val_v)}),
+        os.path.join(ext_dir, "grid_values.parquet"))
+    pq.write_table(pa.Table.from_pylist([dict(region=name, **EXT_SIGMA)]),
+                   os.path.join(ext_dir, "sigma.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist([dict(geoid_name=geoid, sigma=GEOID_SIGMAS[geoid])]),
+        os.path.join(ext_dir, "sigma_geoid.parquet"))
 
 
 # ------------------------------------------------------------- raster ---

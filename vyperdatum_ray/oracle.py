@@ -69,11 +69,22 @@ geo AS (
 )"""
 
 
-def _memb_cte(fx: str, geo_name: str = "geo") -> str:
+def _ext_union(fx: str, name: str) -> str:
+    """Catalog table source, optionally unioned with the external-region
+    variant of the same table (catalog-as-data: the user region's rows
+    simply append — its region_ord is already the appended-last
+    ordinal)."""
+    return (f"SELECT * FROM read_parquet('{fx}/{name}.parquet') "
+            f"UNION ALL SELECT * FROM read_parquet('{fx}/external/{name}.parquet')")
+
+
+def _memb_cte(fx: str, geo_name: str = "geo", ext: bool = False) -> str:
     """CTE `memb`: (url, region, region_ord) for every containing convex
     region — all half-planes satisfied."""
+    src = (_ext_union(fx, "region_edges") if ext
+           else f"SELECT * FROM read_parquet('{fx}/region_edges.parquet')")
     return f"""
-edges AS (SELECT * FROM read_parquet('{fx}/region_edges.parquet')),
+edges AS ({src}),
 memb AS (
   SELECT g.url, e.region, e.region_ord
   FROM {geo_name} g CROSS JOIN edges e
@@ -84,7 +95,8 @@ memb AS (
 
 def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
                     from_navd88: bool = False, geo_name: str = "geo",
-                    z_col: str | None = None, with_zwin: bool = True) -> str:
+                    z_col: str | None = None, with_zwin: bool = True,
+                    ext: bool = False) -> str:
     """CTEs computing per-(point, region) z for the ellipse-><target>
     pipeline (geoid forward, tss inverse, <target> forward) — or its
     inverse (<target> -> ellipse: reversed steps, signs toggled, height
@@ -112,12 +124,23 @@ def _transform_ctes(fx: str, target: str = "mllw", inverse: bool = False,
         surfaces = f"('geoid', -1.0), ('tss', 1.0), ('{target}', -1.0)"
         geoid_sel = "max(CASE WHEN surface = 'geoid' THEN val END) AS g_geoid,"
     z_sel = f"g.{z_col} AS z_in" if z_col else "0.0 AS z_in"
+    if ext:
+        srcs = {n: _ext_union(fx, n) for n in
+                ("region_catalog", "grid_meta", "grid_values", "sigma")}
+        # external geoid sigma may duplicate a base geoid row: UNION dedups
+        srcs["sigma_geoid"] = (
+            f"SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet') "
+            f"UNION SELECT * FROM read_parquet('{fx}/external/sigma_geoid.parquet')")
+    else:
+        srcs = {n: f"SELECT * FROM read_parquet('{fx}/{n}.parquet')" for n in
+                ("region_catalog", "grid_meta", "grid_values", "sigma",
+                 "sigma_geoid")}
     core = f"""
-rcat AS (SELECT * FROM read_parquet('{fx}/region_catalog.parquet')),
-gmeta AS (SELECT * FROM read_parquet('{fx}/grid_meta.parquet')),
-gvals AS (SELECT * FROM read_parquet('{fx}/grid_values.parquet')),
-sig AS (SELECT * FROM read_parquet('{fx}/sigma.parquet')),
-gsig AS (SELECT * FROM read_parquet('{fx}/sigma_geoid.parquet')),
+rcat AS ({srcs["region_catalog"]}),
+gmeta AS ({srcs["grid_meta"]}),
+gvals AS ({srcs["grid_values"]}),
+sig AS ({srcs["sigma"]}),
+gsig AS ({srcs["sigma_geoid"]}),
 tr0 AS (
   SELECT m.url, m.region, m.region_ord, g.lat, g.lon, {z_sel},
          rc.geoid_name, rc.geoid_frame
@@ -468,6 +491,17 @@ SELECT g.url, g.easting, g.northing, g.lon, g.lat,
 FROM zwin w
 JOIN geo g ON g.url = w.url
 WHERE w.rn = 1"""
+
+
+def q_external_region_transform(fx: str) -> str:
+    """Mirror of queries.q_external_region_transform: every catalog
+    table unioned with its ``external/`` sibling (the user region's
+    region_ord is the appended-last ordinal, so the standard
+    max-region_ord winner rule gives it overlap priority — no special
+    casing anywhere)."""
+    return f"""WITH {_geo_cte(fx)}, {_memb_cte(fx, ext=True)}, {_transform_ctes(fx, ext=True)}
+SELECT w.url, w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w WHERE w.rn = 1"""
 
 
 def q_csv_roundtrip(fx: str) -> str:

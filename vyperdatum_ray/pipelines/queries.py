@@ -285,6 +285,47 @@ def q_transform_stateplane(sf_dir: str, epsg: int = 3631) -> ray.data.Dataset:
          "z_out", "unc"])
 
 
+def q_external_region_transform(sf_dir: str) -> ray.data.Dataset:
+    """Catalog-as-data extensibility end-to-end (SURVEY §2.9, reference
+    core.py:671-764): a USER-supplied region arrives as parquet
+    (``external/`` — same five table schemas as the base catalog), is
+    ingested with ``Catalog.from_dir`` and upserted via
+    ``register_external_region`` — appended LAST in catalog order, so
+    it WINS overlaps with SYNcoastA under the catalog-order-overwrite
+    rule (J2) — and the standard PIP + datum transform runs against the
+    extended catalog. No code changes, no new region class: the region
+    is pure data."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.core.config import register_external_region
+    from vyperdatum_ray.fixtures import fixture_dir, ensure_fixtures
+    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+
+    ensure_fixtures(sf_dir)
+    ext = Catalog.from_dir(os.path.join(fixture_dir(sf_dir), "external"))
+    info = ext.regions[0]
+    catalog = register_external_region(
+        load_catalog(sf_dir), info, ext.grids, ext.sigmas[info.name])
+    catalog_ref = ray.put(catalog)
+
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(
+        JoinTransform,
+        fn_constructor_kwargs=dict(
+            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
+            in_is_height=True, out_is_height=False,
+        ),
+        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "region", "region_index", "z_out", "unc"])
+
+
 def q_flagship(sf_dir: str) -> ray.data.Dataset:
     """Full output schema incl. cells, mask and NaN/-1 rows (rows-only
     check; the SQL-checkable projection is q_datum_transform)."""
