@@ -162,30 +162,37 @@ def scaling_one(num_cpus: int, repeat: int) -> dict:
 
     inner = min(8, repeat)  # copies made inside one read task
 
-    def read_shard(batch: pa.Table) -> pa.Table:
+    def read_geocode_shard(batch: pa.Table) -> pa.Table:
+        """Read + geocode in ONE task (the production geocode_in_read
+        shape, flagship.read_geocoded): page text never enters the
+        object store — only the slim geocoded stream leaves the task."""
         import pyarrow.parquet as pq
+
+        from vyperdatum_ray.stages.geocode import geocode_batch, keep_geocoded
 
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
-        tabs = []
+        outs = []
         for p in batch.column("path").to_pylist():
-            t = pq.read_table(p, columns=["url", "warc_ts", "text", "lang"])
-            tabs.extend([t] * inner)
-        return pa.concat_tables(tabs)
+            t = pq.read_table(p, columns=["url", "text"])
+            g = keep_geocoded(geocode_batch(t)).select(["url", "lat", "lon"])
+            outs.extend([g] * inner)
+        return pa.concat_tables(outs)
 
     t0 = time.perf_counter()
     # file-granular read tasks, input listed repeat/inner x with inner
-    # copies concatenated per task: evenly-sized independent ~200k-row
-    # blocks, no metadata-discovery or scheduling cost proportional to
-    # repeat. Same shard-per-task shape as the checkpointed production
-    # run.
+    # copies concatenated per task: evenly-sized independent blocks, no
+    # metadata-discovery or scheduling cost proportional to repeat. Same
+    # shard-per-task geocode-in-read shape as the checkpointed
+    # production run (state/lineage.py).
     items = [{"path": p} for p in sorted(pages_paths(SF_DIR))] * max(1, repeat // inner)
     pds = ray.data.from_items(items, override_num_blocks=len(items))
-    pages = pds.map_batches(read_shard, batch_format="pyarrow", batch_size=1)
-    # batch_size=None -> one fused task per input block (= per shard);
-    # an explicit batch_size would re-bundle the 1-row path blocks into
-    # a handful of giant tasks and starve the pool
-    ds = flagship_pipeline(SF_DIR, catalog=catalog, input_ds=pages, batch_size=None)
+    # batch_size=1 -> one fused task per path row; an explicit larger
+    # batch_size would re-bundle the 1-row path blocks into a handful of
+    # giant tasks and starve the pool
+    geo = pds.map_batches(read_geocode_shard, batch_format="pyarrow", batch_size=1)
+    ds = flagship_pipeline(SF_DIR, catalog=catalog, input_ds=geo,
+                           batch_size=None, geocode_in_read=True)
     # count() executes the full pipeline but consumes via block metadata
     # — no driver-side batch pull (the 100 TB pattern is a distributed
     # sink, never iter_batches to one process)

@@ -79,19 +79,67 @@ def load_catalog(sf_dir: str) -> Catalog:
     return Catalog.from_dir(catalog_dir(sf_dir))
 
 
+def read_geocoded(
+    sf_dir: str,
+    paths: list[str] | None = None,
+    include_paths: bool = False,
+) -> ray.data.Dataset:
+    """Read + geocode fused into ONE task stage: the page text is parsed
+    where it is read and never crosses an object-store boundary — only
+    the slim (url, lat, lon[, path]) stream leaves the task.
+
+    Measured on this box (BASELINE.md round 3): vs the read-task ->
+    fused-actor shape (text crossing the store once), this DOUBLES
+    flagship throughput at 8 CPUs (3.7M -> 7.6M rows/s) and reaches
+    14.6M rows/s at 16 — store serialization of wide strings is real
+    CPU work, not just memory traffic. The trade: geocode no longer
+    runs in the transform actor pool, so the read tasks must be
+    numerous enough to fill the machine (one task per input shard —
+    exactly the production layout)."""
+    files = sorted(paths or pages_paths(sf_dir))
+    items = [{"path": p} for p in files]
+    pds = ray.data.from_items(items, override_num_blocks=len(items))
+    keep = ["url", "lat", "lon"] + (["path"] if include_paths else [])
+
+    def read_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        outs = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=["url", "text"])
+            g = keep_geocoded(geocode_batch(t))
+            if include_paths:
+                g = g.append_column("path", pa.array([p] * g.num_rows, pa.string()))
+            outs.append(g.select(keep))
+        return pa.concat_tables(outs)
+
+    return pds.map_batches(read_one, batch_format="pyarrow", batch_size=None)
+
+
 def geocoded_pages(
     sf_dir: str,
     columns: list[str] | None = None,
     paths: list[str] | None = None,
     include_paths: bool = False,
     input_ds: ray.data.Dataset | None = None,
+    carry_text: bool = True,
 ) -> ray.data.Dataset:
     """pages -> geocode -> keep geocoded -> cell index.
 
     ``paths`` restricts the read to specific input shards (resume prunes
     completed shards here, at the read); ``include_paths`` carries the
     source file as a ``path`` column for lineage tagging; ``input_ds``
-    substitutes a pre-built pages Dataset for the read."""
+    substitutes a pre-built pages Dataset for the read.
+
+    ``carry_text=False`` projects the wide string columns (text, lang,
+    warc_ts, geocode_src) out right after the geocode filter, INSIDE the
+    fused actor chain: consumers that never emit text (the checkpointed
+    production sink, the scaling bench) then push only ~100 B/row
+    through the actor-output object-store boundary instead of dragging
+    the full page text across it — on this box that boundary is the
+    memory-bandwidth hot spot past ~16 cores (BASELINE.md round 3)."""
     ds = input_ds if input_ds is not None else ray.data.read_parquet(
         paths or pages_paths(sf_dir),
         columns=columns or PAGE_COLUMNS,
@@ -99,6 +147,10 @@ def geocoded_pages(
     )
     ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
     ds = ds.map_batches(keep_geocoded, batch_format="pyarrow")
+    if not carry_text:
+        keep = ["url", "lat", "lon"] + (["path"] if include_paths else [])
+        ds = ds.map_batches(lambda t, cols=tuple(keep): t.select(list(cols)),
+                            batch_format="pyarrow")
     ds = ds.map_batches(cell_index_batch, batch_format="pyarrow")
     return ds
 
@@ -114,13 +166,28 @@ def flagship_pipeline(
     in_is_height: bool = True,
     out_is_height: bool = False,
     input_ds: ray.data.Dataset | None = None,
+    carry_text: bool = True,
+    geocode_in_read: bool = False,
 ) -> ray.data.Dataset:
     """Full geocode + PIP join + datum transform stream; returns the lazy
-    Dataset (caller writes or aggregates)."""
+    Dataset (caller writes or aggregates). ``carry_text=False`` drops
+    the page text inside the fused chain for consumers whose output
+    schema never includes it (see geocoded_pages);
+    ``geocode_in_read=True`` additionally fuses geocode into the read
+    TASK so text never enters the object store at all (see
+    read_geocoded — the production checkpointed sink and the scaling
+    bench use this shape)."""
     catalog = catalog or load_catalog(sf_dir)
     catalog_ref = ray.put(catalog)
-    ds = geocoded_pages(sf_dir, paths=paths, include_paths=include_paths,
-                        input_ds=input_ds)
+    if geocode_in_read:
+        # input_ds, when given, is an ALREADY-geocoded slim stream
+        # (url, lat, lon, ...) produced by a read_geocoded-shaped stage
+        ds = input_ds if input_ds is not None else read_geocoded(
+            sf_dir, paths=paths, include_paths=include_paths)
+        ds = ds.map_batches(cell_index_batch, batch_format="pyarrow")
+    else:
+        ds = geocoded_pages(sf_dir, paths=paths, include_paths=include_paths,
+                            input_ds=input_ds, carry_text=carry_text)
     ds = ds.map_batches(
         JoinTransform,
         fn_constructor_kwargs={

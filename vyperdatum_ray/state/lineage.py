@@ -122,8 +122,13 @@ def run_flagship_checkpointed(
             "shard", pa.array(shards, pa.string())
         )
 
+    # geocode_in_read: the sink schema below has no text column, so the
+    # page text is parsed inside the read task and never enters the
+    # object store (2x flagship throughput at 8 CPUs — BASELINE.md
+    # round-3 bandwidth analysis)
     ds = flagship_pipeline(sf_dir, batch_size=batch_size, catalog=catalog,
-                           paths=pending, include_paths=True)
+                           paths=pending, include_paths=True,
+                           geocode_in_read=True)
     ds = ds.map_batches(tag_shard, batch_format="pyarrow")
     ds = ds.select_columns(
         ["shard", "url", "lat", "lon", "h3_9", "s2_13", "tile_id",
