@@ -731,52 +731,57 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     cand_ids_ref = ray.put(cand_ids)
 
     if len(cand_ids) <= BROADCAST_CAND_CAP:
-        # FAST PATH: the candidate-doc TEXT set is also bounded, so
-        # broadcast it (candidate-sized, never corpus-sized) and verify
-        # pairs with a stateless map — this skips both repartition
-        # exchanges (two sort-shuffles carrying text dominated the
-        # exchange path's wall time)
+        # FAST PATH: the candidate SHINGLE SETS are bounded (candidate-
+        # sized, never corpus-sized), so compute them DISTRIBUTED — the
+        # doc scan shingles its own candidate rows per batch and emits
+        # flat (doc_id, shingle) partials — collect the flat arrays
+        # once, broadcast them, and verify pairs with STATELESS tasks
+        # (the earlier actor-pool version re-shingled the whole
+        # candidate set in every actor's __init__, serializing ~1 s x
+        # pool-size behind the autoscale ramp).
         from vyperdatum_ray.core.nputil import isin_sorted
 
-        def project_cand_docs(t: pa.Table) -> pa.Table:
+        def shingle_partial(t: pa.Table) -> pa.Table:
             ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.filter(pa.array(isin_sorted(ids, cand_ids)))
+            t = t.filter(pa.array(isin_sorted(ids, cand_ids)))
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = t.column("text").to_pylist()
+            flat, counts = _shingle_hashes_batch(texts, 5)
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "shingle": pa.array(flat, pa.uint64()),
+            })
 
-        texts_df = docs.map_batches(project_cand_docs, batch_format="pyarrow").to_pandas()
-        lut_ref = ray.put((texts_df["doc_id"].to_numpy(np.int64),
-                           texts_df["text"].to_numpy()))
+        sh = docs.map_batches(shingle_partial, batch_format="pyarrow").to_pandas()
+        sh_ids = sh["doc_id"].to_numpy(np.int64)
+        sh_vals = sh["shingle"].to_numpy().astype(np.uint64)
+        order = np.lexsort((sh_vals, sh_ids))  # per-doc runs, shingles sorted
+        sh_ids, sh_vals = sh_ids[order], sh_vals[order]
+        ids_sorted = np.unique(sh_ids)
+        offs = np.searchsorted(sh_ids, ids_sorted)
+        offs = np.r_[offs, len(sh_ids)]
+        lut_ref = ray.put((ids_sorted, sh_vals, offs))
 
-        class VerifyBroadcast:
-            """Shingles of the CANDIDATE docs computed once per actor;
-            pairs scored in one vectorized packed-key-sort pass."""
+        def verify(t: pa.Table) -> pa.Table:
+            ids, flat, offs_ = ray.get(lut_ref)  # zero-copy plasma arrays
+            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            jac = _jaccard_pairs_flat(flat, offs_, ia, ib)
+            keep = jac >= tau
+            return pa.table({
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            })
 
-            def __init__(self, ref, tau):
-                ids, texts = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-                order = np.argsort(ids)
-                flat, counts = _shingle_hashes_batch(list(texts[order]), 5)
-                self.offs = np.zeros(len(counts) + 1, dtype=np.int64)
-                np.cumsum(counts, out=self.offs[1:])
-                self.flat = flat
-                self.ids = ids[order]
-                self.tau = tau
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-                b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-                ia = np.searchsorted(self.ids, a)
-                ib = np.searchsorted(self.ids, b)
-                jac = _jaccard_pairs_flat(self.flat, self.offs, ia, ib)
-                keep = jac >= self.tau
-                return pa.table({
-                    "id_a": pa.array(a[keep], pa.int64()),
-                    "id_b": pa.array(b[keep], pa.int64()),
-                    "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-                })
-
-        return cand.map_batches(
-            VerifyBroadcast, fn_constructor_kwargs={"ref": lut_ref, "tau": tau},
-            batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-        )
+        # the packed-key sort is O(pairs x shingles-per-pair) — spread
+        # the (tiny, bounded) pair list over the CPUs so each task sorts
+        # a slice instead of 3 groupby-output blocks sorting ~22M keys
+        # serially each
+        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        return cand.repartition(n_parts).map_batches(verify, batch_format="pyarrow")
 
     def requests(t: pa.Table) -> pa.Table:
         """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
