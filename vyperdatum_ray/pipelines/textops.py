@@ -9,6 +9,8 @@ shuffle moves ids + 8-byte hashes, never full text when avoidable).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -537,21 +539,33 @@ class MinHashStage:
         )
 
 
-def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """MinHash-LSH near-dup candidate pairs over documents text
-    (rows-only check; Jaccard-verified in tests): shingle -> minhash ->
-    band explode -> groupby(band) -> pairs -> dedup by (id_a, id_b).
+@functools.lru_cache(maxsize=4)
+def _minhash_stage_cached(num_perm: int, bands: int, id_col: str,
+                          text_col: str) -> "MinHashStage":
+    """One MinHashStage per worker process (lru_cache is per-process):
+    lets the band explode run as stateless TASKS — one per input block,
+    parallel across every CPU — instead of a small actor pool whose
+    ``batch_size`` bundles blocks into a handful of giant tasks (the
+    CLAUDE.md block-bundling trap; measured 3 tasks / 4s UDF at sf0.1)."""
+    return MinHashStage(num_perm=num_perm, bands=bands,
+                        id_col=id_col, text_col=text_col)
 
-    Mega-buckets (> 64 ids sharing a band hash — template spam at web
-    scale) are dropped, the standard LSH guard against the O(n^2) pair
-    explosion a hot bucket would cause."""
+
+def _minhash_explode(batch: pa.Table) -> pa.Table:
+    return _minhash_stage_cached(64, 16, "doc_id", "text")(batch)
+
+
+def _minhash_candidates_raw(sf_dir: str) -> ray.data.Dataset:
+    """Pre-dedup MinHash-LSH candidate pairs: shingle -> minhash ->
+    band explode -> groupby(band) -> pairs. A pair colliding in several
+    bands appears once per band; callers dedup either distributed
+    (`_dedup_pair_ds`, the standalone query) or driver-side on the
+    collected bounded pair list (the jaccard fast path — saves a full
+    Ray sort)."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"id_col": "doc_id", "text_col": "text"},
+        _minhash_explode,
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
-        batch_size=2048,
+        batch_size=None,  # one task per read block — full-width parallelism
     )
 
     # Group at a SALT granularity, not per bucket: a per-bucket
@@ -568,12 +582,22 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
             "bh_salt", pa.array(bh >> np.uint64(64 - PREFIX_BITS), pa.uint64())
         )
 
-    cand = (
+    return (
         ds.map_batches(add_salt, batch_format="pyarrow")
         .groupby(["band_id", "bh_salt"])
         .map_groups(lambda df: _pairs_grouped(df, "band_hash"), batch_format="pandas")
     )
-    return _dedup_pair_ds(cand)
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH near-dup candidate pairs over documents text
+    (rows-only check; Jaccard-verified in tests): shingle -> minhash ->
+    band explode -> groupby(band) -> pairs -> dedup by (id_a, id_b).
+
+    Mega-buckets (> 64 ids sharing a band hash — template spam at web
+    scale) are dropped, the standard LSH guard against the O(n^2) pair
+    explosion a hot bucket would cause."""
+    return _dedup_pair_ds(_minhash_candidates_raw(sf_dir))
 
 
 class SimHashStage:
@@ -609,9 +633,15 @@ class SimHashStage:
                          "simhash": pa.array(hashes, pa.uint64())})
 
 
+@functools.lru_cache(maxsize=1)
+def _simhash_stage_cached() -> "SimHashStage":
+    return SimHashStage()
+
+
 def q_simhash(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        lambda b: _simhash_stage_cached()(b),
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -619,21 +649,20 @@ def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
     """Document fingerprint: min rolling-hash shingle (winnowing-style
     representative) + shingle count."""
 
-    class Fingerprint:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column("text").to_pylist()
-            flat, cnt = _shingle_hashes_batch(texts, 5)
-            offsets = np.zeros(len(texts), dtype=np.int64)
-            np.cumsum(cnt[:-1], out=offsets[1:])
-            fp = np.minimum.reduceat(flat, offsets) if len(flat) else np.zeros(0, np.uint64)
-            return pa.table(
-                {"doc_id": batch.column("doc_id"),
-                 "fingerprint": pa.array(fp, pa.uint64()),
-                 "n_shingles": pa.array(cnt, pa.int64())}
-            )
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        flat, cnt = _shingle_hashes_batch(texts, 5)
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offsets[1:])
+        fp = np.minimum.reduceat(flat, offsets) if len(flat) else np.zeros(0, np.uint64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "fingerprint": pa.array(fp, pa.uint64()),
+             "n_shingles": pa.array(cnt, pa.int64())}
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Fingerprint, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        fingerprint, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -715,7 +744,10 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     ``Dataset.join``: its per-join aggregator-actor pool
     starves/deadlocks the 2-joins-in-one-DAG shape at small CPU
     counts."""
-    cand = q_minhash_pairs(sf_dir).materialize()  # bounded candidate pairs
+    # bounded candidate pairs, still one-row-per-band-collision: the
+    # fast path dedups them driver-side on the collected list (saves a
+    # full Ray sort); the exchange path dedups distributed below
+    raw = _minhash_candidates_raw(sf_dir).materialize()
     docs = _docs(sf_dir, ["doc_id", "text"])
     ksalt = np.uint64(k_salt)
 
@@ -726,7 +758,7 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     # collect ONLY the candidate id set (bounded by LSH output) and
     # broadcast it to pre-filter the doc stream
     cand_ids = np.unique(
-        cand.map_batches(id_partial, batch_format="pyarrow").to_pandas()["id"].to_numpy()
+        raw.map_batches(id_partial, batch_format="pyarrow").to_pandas()["id"].to_numpy()
     ).astype(np.int64)
     cand_ids_ref = ray.put(cand_ids)
 
@@ -734,11 +766,15 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
         # FAST PATH: the candidate SHINGLE SETS are bounded (candidate-
         # sized, never corpus-sized), so compute them DISTRIBUTED — the
         # doc scan shingles its own candidate rows per batch and emits
-        # flat (doc_id, shingle) partials — collect the flat arrays
-        # once, broadcast them, and verify pairs with STATELESS tasks
-        # (the earlier actor-pool version re-shingled the whole
-        # candidate set in every actor's __init__, serializing ~1 s x
-        # pool-size behind the autoscale ramp).
+        # flat (doc_id, shingle) partials — then intersect every pair
+        # with ONE multithreaded polars hash-join on the driver:
+        # pairs x a-side shingles explode, probe the (doc, shingle)
+        # table on the b side, count matches per pair. Both inputs are
+        # bounded by the LSH output (the same bound that justifies
+        # collecting the LUT at all — past BROADCAST_CAND_CAP the
+        # exchange path below takes over), and the join replaces a
+        # packed-key gather+sort whose 70M-element numpy pass ran ~12x
+        # slower than polars' Rust join engine on the same data.
         from vyperdatum_ray.core.nputil import isin_sorted
 
         def shingle_partial(t: pa.Table) -> pa.Table:
@@ -752,36 +788,49 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
                 "shingle": pa.array(flat, pa.uint64()),
             })
 
-        sh = docs.map_batches(shingle_partial, batch_format="pyarrow").to_pandas()
-        sh_ids = sh["doc_id"].to_numpy(np.int64)
-        sh_vals = sh["shingle"].to_numpy().astype(np.uint64)
-        order = np.lexsort((sh_vals, sh_ids))  # per-doc runs, shingles sorted
-        sh_ids, sh_vals = sh_ids[order], sh_vals[order]
-        ids_sorted = np.unique(sh_ids)
-        offs = np.searchsorted(sh_ids, ids_sorted)
-        offs = np.r_[offs, len(sh_ids)]
-        lut_ref = ray.put((ids_sorted, sh_vals, offs))
+        import polars as pl
 
-        def verify(t: pa.Table) -> pa.Table:
-            ids, flat, offs_ = ray.get(lut_ref)  # zero-copy plasma arrays
-            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-            ia = np.searchsorted(ids, a)
-            ib = np.searchsorted(ids, b)
-            jac = _jaccard_pairs_flat(flat, offs_, ia, ib)
-            keep = jac >= tau
-            return pa.table({
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-            })
+        sh_tbl = pa.concat_tables(
+            ray.get(docs.map_batches(shingle_partial, batch_format="pyarrow")
+                    .to_arrow_refs()))
+        sh = pl.from_arrow(sh_tbl)
+        pairs_pd = raw.to_pandas()
+        a = pairs_pd["id_a"].to_numpy(np.int64)
+        b = pairs_pd["id_b"].to_numpy(np.int64)
+        # driver-side (id_a, id_b) dedup of the bounded collected list —
+        # lexsort-based so it is exact for any int64 id range
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep_u = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[keep_u], b[keep_u]
+        pairs = pl.DataFrame({"p": np.arange(len(a), dtype=np.int64),
+                              "a": a, "b": b})
+        inter = (
+            pairs.join(sh, left_on="a", right_on="doc_id")
+            .join(sh, left_on=["b", "shingle"], right_on=["doc_id", "shingle"])
+            .group_by("p").len()
+        )
+        sizes = sh.group_by("doc_id").len().sort("doc_id")
+        # jaccard in numpy from the integer (inter, la, lb) triple —
+        # identical float semantics to the per-pair reference loop;
+        # searchsorted (not a join) so alignment with pair order is
+        # positional, independent of polars' join-output ordering
+        sz_doc = sizes["doc_id"].to_numpy()
+        sz_len = sizes["len"].to_numpy().astype(np.int64)
+        la = sz_len[np.searchsorted(sz_doc, a)]
+        lb = sz_len[np.searchsorted(sz_doc, b)]
+        inter_full = np.zeros(len(a), dtype=np.int64)
+        inter_full[inter["p"].to_numpy()] = inter["len"].to_numpy().astype(np.int64)
+        union = la + lb - inter_full
+        jac = np.where(union > 0, inter_full / np.maximum(union, 1), 1.0)
+        keep = jac >= tau
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+        }))
 
-        # the packed-key sort is O(pairs x shingles-per-pair) — spread
-        # the (tiny, bounded) pair list over the CPUs so each task sorts
-        # a slice instead of 3 groupby-output blocks sorting ~22M keys
-        # serially each
-        n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        return cand.repartition(n_parts).map_batches(verify, batch_format="pyarrow")
+    cand = _dedup_pair_ds(raw)  # exchange path: distributed pair dedup
 
     def requests(t: pa.Table) -> pa.Table:
         """Two doc-keyed fetch requests per candidate pair (slot 0 = a,
