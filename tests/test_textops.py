@@ -273,3 +273,36 @@ def test_unigram_logprob_oov_bucket(ray_session):
     # pooling the tail into one bucket reduces total surprisal mass
     assert capped["mean_surprisal"].mean() < full["mean_surprisal"].mean()
     assert (full.loc[full["n_tokens"] > 0, "mean_surprisal"] > 0).all()
+
+
+def test_pii_redact_detects_and_redacts_contact_lines(ray_session):
+    from vyperdatum_ray.pipelines.textops import q_pii_redact
+
+    out = q_pii_redact(SF).to_pandas()
+    # fixture: every 8th page (i % 8 == 5) carries exactly one email,
+    # one 555-01xx phone and one TEST-NET IP; all other pages none
+    hit = out[out["n_email"] > 0]
+    assert len(hit) == len(out) // 8
+    assert (hit["n_email"] == 1).all()
+    assert (hit["n_phone"] == 1).all()
+    assert (hit["n_ip"] == 1).all()
+    clean = out[out["n_email"] == 0]
+    assert (clean["n_phone"] == 0).all() and (clean["n_ip"] == 0).all()
+    sample = hit["redacted"].iloc[0]
+    assert "<EMAIL>" in sample and "<PHONE>" in sample and "<IP>" in sample
+    assert "@archive" not in sample and "555-01" not in sample
+    # non-PII pages pass through byte-identical
+    assert (clean["redacted"].str.contains("<EMAIL>") == False).all()  # noqa: E712
+
+
+def test_line_dedup_removes_only_corpus_hot_lines(ray_session):
+    from vyperdatum_ray.pipelines.textops import q_line_dedup
+
+    out = q_line_dedup(SF).to_pandas()
+    # every page carries exactly one boilerplate line (hot across the
+    # corpus); first lines and contact lines are unique -> kept
+    assert (out["n_removed"] == 1).all()
+    assert out["clean_text"].str.startswith(("Document", "Site survey")).all()
+    assert not out["clean_text"].str.contains("cookies|rights reserved", regex=True).any()
+    # contact lines survive (unique, not boilerplate)
+    assert out["clean_text"].str.contains("Contact curator").sum() == len(out) // 8

@@ -30,7 +30,8 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 7  # bump to invalidate caches (v7: + external region)
+FIXTURE_VERSION = 8  # bump to invalidate caches (v8: multi-line page text
+#                      with boilerplate + PII contact lines)
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
@@ -439,23 +440,51 @@ def _write_pages(out_dir: str, sf_name: str, n: int) -> list[str]:
         ["tidal datums", "coastal survey", "hydrographic chart", "web crawl record",
          "bathymetry notes", "navigation aids"], dtype=object,
     )[idx % 6]
+    # Multi-line page bodies (v8): line 1 keeps the original geocodable
+    # sentence byte-for-byte (the geocode regexes and their literal
+    # prefilters see exactly what they saw before); appended lines give
+    # the webtext ops real structure — a fake PII contact line on every
+    # 8th page (RFC 2606 example domains, 555-01xx phones, 192.0.2.x
+    # TEST-NET addresses) and one line from a small boilerplate pool so
+    # C4-style corpus line dedup has genuinely hot lines. Kept short on
+    # purpose: page bytes set the flagship's memory-bandwidth footprint
+    # (BASELINE.md scaling notes). None of the added lines can trip the
+    # geocode patterns: no 'lat=', no '/@', no '<f> N, <f> W' shape.
+    boilerplate = [
+        "Subscribe for weekly updates.",
+        "This site stores cookies.",
+        "All rights reserved.",
+        "Data provided as-is.",
+        "Follow the expedition online.",
+        "Sign in to download data.",
+        "Generated from archive holdings.",
+        "See the tidal datum glossary.",
+    ]
     for i in range(n):
         h = host[i]
         if src[i] == 1:
             url[i] = f"https://host{h}.example/p/{i}?lat={lat[i]:.5f}&lon={lon[i]:.5f}"
-            text[i] = f"Document {i} concerning {fillers[i]} and shoreline change."
+            first = f"Document {i} concerning {fillers[i]} and shoreline change."
         elif src[i] == 2:
             url[i] = f"https://host{h}.example/map/@{lat[i]:.5f},{lon[i]:.5f}/view"
-            text[i] = f"Document {i} concerning {fillers[i]} and shoreline change."
+            first = f"Document {i} concerning {fillers[i]} and shoreline change."
         elif src[i] == 3:
             url[i] = f"https://host{h}.example/p/{i}"
-            text[i] = (
+            first = (
                 f"Site survey at {lat[i]:.5f} N, {abs(lon[i]):.5f} W "
                 f"covering {fillers[i]} for record {i}."
             )
         else:
             url[i] = f"https://host{h}.example/p/{i}"
-            text[i] = f"Document {i} concerning {fillers[i]} without coordinates."
+            first = f"Document {i} concerning {fillers[i]} without coordinates."
+        lines = [first]
+        if i % 8 == 5:
+            lines.append(
+                f"Contact curator{i % 50}@archive{h:02d}.example or call "
+                f"555-01{i % 100:02d}, mirror node 192.0.2.{i % 254}."
+            )
+        lines.append(boilerplate[i % 8])
+        text[i] = "\n".join(lines)
         html[i] = (f"<html><body><h1>doc {i}</h1><p>{fillers[i]}</p></body></html>").encode()
 
     table = pa.table(

@@ -362,6 +362,45 @@ def q_text_passthrough(fx: str) -> str:
     return f"WITH {_geo_cte(fx)} SELECT url, text, lang FROM geo"
 
 
+def q_pii_redact(fx: str) -> str:
+    """Mirror of textops.q_pii_redact: same RE2 patterns (DuckDB and
+    pyarrow both embed RE2), counts on raw text, replacements applied
+    email -> phone -> ip."""
+    from vyperdatum_ray.pipelines.textops import (PII_EMAIL_PATTERN,
+                                                  PII_IP_PATTERN,
+                                                  PII_PHONE_PATTERN)
+
+    e, p, i = PII_EMAIL_PATTERN, PII_PHONE_PATTERN, PII_IP_PATTERN
+    return f"""
+WITH pages AS (SELECT * FROM read_parquet('{fx}/pages/*.parquet'))
+SELECT url,
+  CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'), '{i}', '<IP>', 'g')
+    AS redacted
+FROM pages"""
+
+
+def q_line_dedup(fx: str) -> str:
+    """Mirror of textops.q_line_dedup: corpus-wide line counts, lines
+    with count >= 3 removed from every document, originals rejoined in
+    line order."""
+    return f"""
+WITH pages AS (SELECT * FROM read_parquet('{fx}/pages/*.parquet')),
+ls AS (SELECT url, string_split(text, chr(10)) AS arr FROM pages),
+lines AS (SELECT url, unnest(arr) AS line,
+                 unnest(range(1, len(arr) + 1)) AS ord FROM ls),
+hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 3)
+SELECT l.url,
+  coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)
+           FILTER (WHERE h.line IS NULL), '') AS clean_text,
+  CAST(count(*) FILTER (WHERE h.line IS NOT NULL) AS BIGINT) AS n_removed
+FROM lines l LEFT JOIN hot h USING (line)
+GROUP BY l.url"""
+
+
 def q_tile_assign(fx: str) -> str:
     return (
         f"WITH {_geo_cte(fx)} SELECT url, "

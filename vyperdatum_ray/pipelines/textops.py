@@ -91,6 +91,121 @@ def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("key_salt").map_groups(reduce_group, batch_format="pandas")
 
 
+# PII patterns — RE2 on both sides (pyarrow and DuckDB both embed RE2),
+# mirrored verbatim in the SQL oracle. Counts are taken on the RAW text;
+# redaction applies the three replacements in this fixed order.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b555-01\d\d\b"
+PII_IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII detection + redaction over pages text (emails, 555-01xx
+    phone numbers, IPv4 addresses): per-row match counts on the raw
+    text and a redacted text with matches replaced by <EMAIL> /
+    <PHONE> / <IP> in that order. Pure Arrow regex kernels — stateless
+    per-block tasks, no Python row loop."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        red = pc.replace_substring_regex(text, PII_EMAIL_PATTERN, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_PHONE_PATTERN, "<PHONE>")
+        red = pc.replace_substring_regex(red, PII_IP_PATTERN, "<IP>")
+        return pa.table({
+            "url": batch.column("url"),
+            "n_email": pc.cast(pc.count_substring_regex(text, PII_EMAIL_PATTERN), pa.int64()),
+            "n_phone": pc.cast(pc.count_substring_regex(text, PII_PHONE_PATTERN), pa.int64()),
+            "n_ip": pc.cast(pc.count_substring_regex(text, PII_IP_PATTERN), pa.int64()),
+            "redacted": red,
+        })
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def q_line_dedup(sf_dir: str, min_count: int = 3, salt_bits: int = 10) -> ray.data.Dataset:
+    """C4-style corpus-level line dedup over pages: any LINE occurring
+    >= min_count times across the whole corpus (boilerplate — cookie
+    banners, footers) is removed from every document; output is the
+    cleaned text plus the per-document removed-line count.
+
+    Two passes, both streaming:
+    1. count lines — per-batch PARTIAL counts via Arrow hash aggregate
+       (repeated-in-batch boilerplate collapses before the shuffle),
+       then a bounded-salt groupby (2^salt_bits groups on a hash
+       prefix) sums partials with an exact per-TEXT pandas reduction —
+       hash collisions cannot merge distinct lines.
+    2. the hot-line set (count >= min_count) is collected and
+       broadcast — bounded by the DISTINCT boilerplate vocabulary, not
+       the corpus (C4's removal set) — and a stateless second scan
+       drops member lines with one ``pc.is_in`` over the flattened
+       line lists, reassembling documents via list offsets.
+
+    At a scale where the distinct hot-line set itself outgrows a
+    broadcast, pass 2 becomes a line-hash repartition join (same
+    union + bounded-salt groupby shape as neardup_jaccard's exchange
+    path); the broadcast form is the common case."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    paths = pages_paths(sf_dir)
+
+    def line_partials(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), "\n"))
+        part = pa.table({"line": flat}).group_by("line").aggregate([("line", "count")])
+        lines = part.column("line").combine_chunks()
+        salt = _hash_utf8_fast(lines) >> np.uint64(64 - salt_bits)
+        return pa.table({
+            "line": lines,
+            "n": pc.cast(part.column("line_count"), pa.int64()),
+            "line_salt": pa.array(salt, pa.uint64()),
+        })
+
+    def reduce_hot(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("line", as_index=False)["n"].sum()
+        g = g[g["n"] >= min_count]
+        # explicit Arrow schema: an all-filtered (empty) group must not
+        # degrade 'line' to a null-typed column and split block schemas
+        return pa.table({"line": pa.array(g["line"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64), pa.int64())})
+
+    hot = (
+        ray.data.read_parquet(paths, columns=["text"])
+        .map_batches(line_partials, batch_format="pyarrow", batch_size=None)
+        .groupby("line_salt")
+        .map_groups(reduce_hot, batch_format="pandas")
+    )
+    hot_lines = pa.concat_tables(ray.get(hot.to_arrow_refs())).column("line").combine_chunks()
+    hot_ref = ray.put(hot_lines)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        lines = pc.split_pattern(batch.column("text"), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # sliced ListArrays carry a nonzero start
+        drop = pc.is_in(flat, value_set=hot_arr).to_numpy(zero_copy_only=False)
+        keep = (~drop).astype(np.int64)
+        keep_idx = np.flatnonzero(keep)
+        n_tot = np.diff(offs)
+        n_kept = (np.add.reduceat(keep, offs[:-1]) if len(flat)
+                  else np.zeros(0, np.int64))
+        n_kept = np.where(n_tot == 0, 0, n_kept).astype(np.int64)
+        new_offs = np.r_[np.int64(0), np.cumsum(n_kept)]
+        kept = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.take(pa.array(keep_idx, pa.int64())))
+        return pa.table({
+            "url": batch.column("url"),
+            "clean_text": pc.binary_join(kept, "\n"),
+            "n_removed": pa.array(n_tot - n_kept, pa.int64()),
+        })
+
+    return (ray.data.read_parquet(paths, columns=["url", "text"])
+            .map_batches(clean, batch_format="pyarrow", batch_size=None))
+
+
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         n = pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64())
