@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": relational.q_tpch_q3,
         "orders_customer_join": relational.q_orders_customer_join,
         "top_orders_per_segment": relational.q_top_orders_per_segment,
-        "events_window": relational.q_events_window,
         "events_sliding": relational.q_events_sliding,
         "sessionize": relational.q_sessionize,
         "asof_join": relational.q_asof_join,
@@ -99,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": multimodal.q_html_extract,
         "pii_redact": textops.q_pii_redact,
         "line_dedup": textops.q_line_dedup,
+        "contamination_check": textops.q_contamination_check,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
@@ -111,9 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction+grouping, html_extract covers html_stats' pruned
         # binary read with a stronger transform, datum_transform_inv
         # already adjudicates the M3 sign flip that _mhw re-exercises,
-        # and top_orders_per_segment subsumes top_orders' global top-k).
+        # and top_orders_per_segment subsumes top_orders' global top-k;
+        # events_sliding's overlapping windows subsume events_window's
+        # tumbling case).
         "datum_transform_mhw": q.q_datum_transform_mhw,
         "top_orders": relational.q_top_orders,
+        "events_window": relational.q_events_window,
         "html_stats": textops.q_html_stats,
         "distinct_hosts": textops.q_distinct_hosts,
         "region_counts": q.q_region_counts,
@@ -145,7 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.ann import dedup_clusters_oracle_sql
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
-    from vyperdatum_ray.pipelines.textops import (SAMPLE_DOCUMENTS_ORACLE,
+    from vyperdatum_ray.pipelines.textops import (CONTAMINATION_ORACLE,
+                                                  SAMPLE_DOCUMENTS_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
@@ -245,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_redact": oracle.q_pii_redact(fx),
         "line_dedup": oracle.q_line_dedup(fx),
+        "contamination_check": CONTAMINATION_ORACLE,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id < 10), "

@@ -306,3 +306,27 @@ def test_line_dedup_removes_only_corpus_hot_lines(ray_session):
     assert not out["clean_text"].str.contains("cookies|rights reserved", regex=True).any()
     # contact lines survive (unique, not boilerplate)
     assert out["clean_text"].str.contains("Contact curator").sum() == len(out) // 8
+
+
+def test_contamination_flags_probe_docs_and_true_overlaps(ray_session):
+    """Every probe doc (doc_id % 97 == 0) shares its own 8-grams, so it
+    must be flagged; a non-probe doc is flagged iff it truly shares a
+    full 8-token window with some probe doc (cross-checked in numpy)."""
+    from vyperdatum_ray.pipelines.textops import CONTAM_N, q_contamination_check
+
+    out = q_contamination_check("/root/testdata/sf0.001").to_pandas().set_index("doc_id")
+    assert (out.loc[[i for i in out.index if i % 97 == 0], "contaminated"] == 1).all()
+    assert (out["contaminated"] == (out["n_contam"] > 0).astype(int)).all()
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    def grams(s):
+        w = s.split()
+        return {" ".join(w[i:i + CONTAM_N]) for i in range(len(w) - CONTAM_N + 1)}
+
+    probe = set().union(*(grams(texts[i]) for i in texts if i % 97 == 0))
+    for did in list(texts)[:200]:
+        expect = len(probe & grams(texts[did])) > 0
+        assert bool(out.loc[did, "contaminated"]) == expect, did

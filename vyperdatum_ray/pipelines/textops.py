@@ -91,6 +91,86 @@ def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("key_salt").map_groups(reduce_group, batch_format="pandas")
 
 
+CONTAM_N = 8          # n-gram width for decontamination
+CONTAM_PROBE_MOD = 97  # synthetic "benchmark" set: doc_id % 97 == 0
+
+
+def _ngram_strings(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """EXACT word n-gram strings for a batch, fully vectorized: split
+    to tokens, then join CONTAM_N zero-copy shifted slices of the flat
+    token array element-wise; windows crossing document boundaries are
+    masked out. Returns (grams, doc_of_gram, n_docs_tokens) where
+    ``grams`` are the literal space-joined n-gram strings — bit-equal
+    to SQL ``array_to_string(list_slice(a, i, i+n-1), ' ')`` — so the
+    DuckDB mirror compares the same strings, not hashes."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.coalesce(text_col, ""), r"\s+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(flat)
+    n_win = m - CONTAM_N + 1
+    if n_win <= 0:
+        return pa.array([], pa.string()), np.zeros(0, np.int64), counts
+    joined = pc.binary_join_element_wise(
+        *[flat.slice(j, n_win) for j in range(CONTAM_N)], " ")
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    doc_of_pos = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    doc_of = doc_of_pos[:n_win]
+    pos_in_doc = np.arange(n_win, dtype=np.int64) - starts[doc_of]
+    valid = pos_in_doc <= counts[doc_of] - CONTAM_N
+    return (joined.filter(pa.array(valid)), doc_of[np.flatnonzero(valid)], counts)
+
+
+def q_contamination_check(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents sharing any word
+    8-gram with a probe ("benchmark") set — here the deterministic
+    doc_id % 97 == 0 subset standing in for an eval suite. The probe
+    n-gram vocabulary is collected once (bounded by the benchmark
+    suite's size, which is small by nature — MBs even for a full eval
+    harness) and broadcast; the corpus streams through one stateless
+    membership scan. Output: per-doc matching-window count and flag."""
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % CONTAM_PROBE_MOD == 0))
+        grams, _, _ = _ngram_strings(t.column("text"))
+        return pa.table({"g": pc.unique(grams)})
+
+    probe_tbl = pa.concat_tables(ray.get(
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(probe_partial, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()))
+    probe = pc.unique(probe_tbl.column("g").combine_chunks())
+    probe_ref = ray.put(probe)
+
+    def scan(t: pa.Table) -> pa.Table:
+        probe_arr = ray.get(probe_ref)
+        grams, doc_of, _ = _ngram_strings(t.column("text"))
+        hit = pc.is_in(grams, value_set=probe_arr).to_numpy(zero_copy_only=False)
+        n = np.bincount(doc_of[hit], minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_contam": pa.array(n, pa.int64()),
+            "contaminated": pa.array((n > 0).astype(np.int64), pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(scan, batch_format="pyarrow", batch_size=None))
+
+
+CONTAMINATION_ORACLE = r"""
+WITH tok AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a FROM documents),
+win AS (SELECT doc_id, a, unnest(range(1, greatest(len(a) - 7, 0) + 1)) AS i FROM tok),
+grams AS (SELECT doc_id, array_to_string(list_slice(a, i, i + 7), ' ') AS g FROM win),
+probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT grams.doc_id, count(*) AS n FROM grams JOIN probe USING (g) GROUP BY grams.doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam,
+       CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
 # PII patterns — RE2 on both sides (pyarrow and DuckDB both embed RE2),
 # mirrored verbatim in the SQL oracle. Counts are taken on the RAW text;
 # redaction applies the three replacements in this fixed order.
