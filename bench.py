@@ -13,6 +13,7 @@ throughput for BASELINE.md.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import subprocess
@@ -112,6 +113,14 @@ def run_once(num_cpus: int, queries: list[str]) -> dict:
         t0 = time.perf_counter()
         counts[name] = _consume(qs[name](SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # The finished Dataset's streaming executor sits in a reference
+        # cycle until the cyclic GC happens to run; until then its actor
+        # pool holds CPUs and the NEXT query's pool starves behind it
+        # (measured: a random query per run stalled 14-20 s at 8 CPUs
+        # with task_submission_backpressure while 7 actors sat pending).
+        # Collect between queries so each timing measures the query, not
+        # the predecessor's teardown latency.
+        gc.collect()
 
     flagship_s = timings.get("flagship", sum(timings.values()))
     out = {
