@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
         "quality_resample": training.q_quality_resample,
+        "corpus_pipeline": training.q_corpus_pipeline,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
@@ -164,7 +165,8 @@ def oracle_sql() -> dict[str, str]:
                                                   lang_token_stats_oracle_sql)
     from vyperdatum_ray.pipelines.training import (QUALITY_RESAMPLE_ORACLE,
                                                    SEQ_PACK_ORACLE,
-                                                   TRAIN_SPLIT_ORACLE)
+                                                   TRAIN_SPLIT_ORACLE,
+                                                   corpus_pipeline_oracle_sql)
     from vyperdatum_ray import oracle
 
     fx = _fx(_SF001)
@@ -263,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,
         "quality_resample": QUALITY_RESAMPLE_ORACLE,
+        "corpus_pipeline": corpus_pipeline_oracle_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id < 10), "

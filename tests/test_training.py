@@ -62,3 +62,35 @@ def test_quality_resample_decisions_match_reference(ray_session):
     kept = set(ids[draw < w].tolist())
     assert set(out["doc_id"].tolist()) == kept
     assert (out["draw"] < out["w_permille"]).all()
+
+
+def test_corpus_pipeline_every_gate_fires(ray_session):
+    """The driver testdata never trips the length/alpha/dedup/contam
+    gates, so exercise each on an injected corpus: one doc per failure
+    mode plus survivors, with the expected output computed by hand."""
+    import pyarrow as pa
+    import ray.data
+    from vyperdatum_ray.pipelines.training import q_corpus_pipeline
+
+    base = ("the quick brown fox and the lazy dog walk to the market "
+            "with a basket of fresh bread for the whole family today")
+    probe_gram = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = {
+        1: base + " one",                          # survivor
+        2: base + " two",                          # survivor
+        3: base + " two",                          # exact dup of 2 -> dropped (min id kept)
+        4: "el la de que y en los por el la de que y en los por",  # Spanish -> dropped
+        5: "the and of",                           # 3 tokens -> too short
+        6: ("the 11111111111 and 2222222222 of 3333333333 to 444444444 "
+            "in 55555555 is 66666666 with 7777777 for 8888888 the 99999999 "
+            "and 00000000 of 1212121 to 3434343 in 565656"),  # low alpha -> dropped
+        7: base + " " + probe_gram,                # shares 8-gram with probe -> dropped
+        97: "the probe doc says " + probe_gram + " and the rest is history now",  # probe -> excluded
+    }
+    t = pa.table({"doc_id": pa.array(list(rows), pa.int64()),
+                  "text": pa.array(list(rows.values()), pa.string())})
+    out = q_corpus_pipeline("unused", input_ds=ray.data.from_arrow(t)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert (out["n_tok"] == 24).all()
+    assert set(out["split"]) <= {"train", "val", "test"}

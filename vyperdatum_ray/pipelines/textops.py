@@ -123,14 +123,11 @@ def _ngram_strings(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     return (joined.filter(pa.array(valid)), doc_of[np.flatnonzero(valid)], counts)
 
 
-def q_contamination_check(sf_dir: str) -> ray.data.Dataset:
-    """Benchmark decontamination: flag documents sharing any word
-    8-gram with a probe ("benchmark") set — here the deterministic
-    doc_id % 97 == 0 subset standing in for an eval suite. The probe
-    n-gram vocabulary is collected once (bounded by the benchmark
-    suite's size, which is small by nature — MBs even for a full eval
-    harness) and broadcast; the corpus streams through one stateless
-    membership scan. Output: per-doc matching-window count and flag."""
+def contam_probe_ref(sf_dir: str, input_ds: ray.data.Dataset | None = None):
+    """Collect the probe set's word-8-gram vocabulary (distributed
+    per-batch uniques, merged + deduped once) and ``ray.put`` it: the
+    broadcast is bounded by the benchmark suite's size, which is small
+    by nature — MBs even for a full eval harness."""
 
     def probe_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -138,12 +135,21 @@ def q_contamination_check(sf_dir: str) -> ray.data.Dataset:
         grams, _, _ = _ngram_strings(t.column("text"))
         return pa.table({"g": pc.unique(grams)})
 
+    ds = input_ds if input_ds is not None else _docs(sf_dir, ["doc_id", "text"])
     probe_tbl = pa.concat_tables(ray.get(
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(probe_partial, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(probe_partial, batch_format="pyarrow", batch_size=None)
         .to_arrow_refs()))
-    probe = pc.unique(probe_tbl.column("g").combine_chunks())
-    probe_ref = ray.put(probe)
+    return ray.put(pc.unique(probe_tbl.column("g").combine_chunks()))
+
+
+def q_contamination_check(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents sharing any word
+    8-gram with a probe ("benchmark") set — here the deterministic
+    doc_id % 97 == 0 subset standing in for an eval suite. The probe
+    n-gram vocabulary is collected once and broadcast
+    (``contam_probe_ref``); the corpus streams through one stateless
+    membership scan. Output: per-doc matching-window count and flag."""
+    probe_ref = contam_probe_ref(sf_dir)
 
     def scan(t: pa.Table) -> pa.Table:
         probe_arr = ray.get(probe_ref)

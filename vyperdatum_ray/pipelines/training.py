@@ -205,3 +205,135 @@ WITH q AS (
   FROM documents)
 SELECT doc_id, CAST(w_permille AS BIGINT) AS w_permille, draw
 FROM q WHERE draw < w_permille"""
+
+
+# ------------------------------------------- end-to-end curation ---
+
+CP_MIN_TOK, CP_MAX_TOK, CP_MIN_W = 10, 5000, 500
+
+
+class CurateStage:
+    """One fused actor-pool pass over the raw pages: language ID +
+    quality signals + decontamination membership, emitting only the
+    surviving (doc_id, text, n_tok) stream. Stateful pieces — the
+    LangId stopword sets and the broadcast probe n-gram vocabulary —
+    are built once per actor; everything per batch is Arrow/numpy
+    kernels (the same ones the adjudicated langid / quality_score /
+    contamination_check queries use)."""
+
+    def __init__(self, probe_ref):
+        from vyperdatum_ray.pipelines.textops import LangId
+
+        pa.set_cpu_count(1)
+        self.langid = LangId()
+        self.probe = ray.get(probe_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from vyperdatum_ray.pipelines.textops import (CONTAM_PROBE_MOD,
+                                                      _ngram_strings)
+
+        pred = self.langid(t).column("lang_pred").to_numpy(zero_copy_only=False)
+        text = t.column("text")
+        n_tok = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.minimum(1000, (n_alpha * 1250) // np.maximum(n_chars, 1))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        grams, doc_of, _ = _ngram_strings(text)
+        hit = pc.is_in(grams, value_set=self.probe).to_numpy(zero_copy_only=False)
+        n_contam = np.bincount(doc_of[hit], minlength=t.num_rows).astype(np.int64)
+        keep = ((pred == "en") & (n_tok >= CP_MIN_TOK) & (n_tok <= CP_MAX_TOK)
+                & (w >= CP_MIN_W) & (n_contam == 0)
+                & (ids % CONTAM_PROBE_MOD != 0))
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": kept.column("doc_id"),
+            "text": kept.column("text"),
+            "n_tok": pa.array(n_tok[keep], pa.int64()),
+        })
+
+
+def q_corpus_pipeline(sf_dir: str,
+                      input_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """The webtext flagship: raw pages -> curated, split training
+    corpus in one streaming pipeline — English-only (LangId), quality-
+    gated (10..5000 tokens, alpha density >= 0.5), decontaminated
+    against the probe set (no shared 8-gram, probe docs excluded),
+    exact-deduplicated (min doc_id per identical text), and assigned a
+    deterministic train/val/test split. Shapes: one broadcast (probe
+    vocabulary), one actor-pool scan fused into the read, and one
+    bounded-salt shuffle for the dedup (the only all-to-all; it carries
+    surviving text once — at larger scale swap the key to a 128-bit
+    content hash exactly as dedup_exact's docstring describes)."""
+    from vyperdatum_ray.pipelines.textops import (_hash_utf8_fast,
+                                                  contam_probe_ref)
+
+    probe_ref = contam_probe_ref(sf_dir, input_ds=input_ds)
+    docs = input_ds if input_ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    ds = docs.map_batches(
+        CurateStage, fn_constructor_kwargs=dict(probe_ref=probe_ref),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+    )
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        salt = _hash_utf8_fast(col) >> np.uint64(54)  # 1024 bounded groups
+        return t.append_column("hash_salt", pa.array(salt, pa.uint64()))
+
+    def dedup_split(df):
+        df = df.sort_values("doc_id")
+        g = df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "first"), n_tok=("n_tok", "first"))
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        bucket = (_hash32(ids, SPLIT_MULT) % np.uint64(1000)).astype(np.int64)
+        g["split"] = np.where(bucket < 980, "train",
+                              np.where(bucket < 990, "val", "test"))
+        return g[["doc_id", "n_tok", "split"]]
+
+    return (ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby("hash_salt")
+            .map_groups(dedup_split, batch_format="pandas"))
+
+
+def corpus_pipeline_oracle_sql() -> str:
+    from vyperdatum_ray.pipelines.textops import _langid_sql_parts
+
+    score_cols, tot, pred, _langs = _langid_sql_parts()
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS t
+  FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_cols)} FROM toks),
+lid AS (SELECT doc_id, {pred} AS lang_pred FROM sc),
+feat AS (
+  SELECT doc_id, text,
+    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+    least(1000, (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+                 * 1250) // greatest(CAST(length(text) AS BIGINT), 1)) AS w
+  FROM documents),
+tok2 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a FROM documents),
+win AS (SELECT doc_id, a, unnest(range(1, greatest(len(a) - 7, 0) + 1)) AS i FROM tok2),
+grams AS (SELECT doc_id, array_to_string(list_slice(a, i, i + 7), ' ') AS g FROM win),
+probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT grams.doc_id, count(*) AS n FROM grams JOIN probe USING (g)
+         GROUP BY grams.doc_id),
+kept AS (
+  SELECT f.doc_id, f.text, f.n_tok
+  FROM feat f JOIN lid USING (doc_id) LEFT JOIN hits h ON f.doc_id = h.doc_id
+  WHERE lid.lang_pred = 'en' AND f.n_tok BETWEEN {CP_MIN_TOK} AND {CP_MAX_TOK}
+    AND f.w >= {CP_MIN_W} AND coalesce(h.n, 0) = 0 AND f.doc_id % 97 <> 0),
+ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+fin AS (SELECT k.doc_id, k.n_tok FROM kept k JOIN ded USING (doc_id)),
+spl AS (
+  SELECT doc_id, n_tok,
+    CAST((CAST(doc_id & 4294967295 AS HUGEINT) * 2246822519)
+         % 4294967296 % 1000 AS BIGINT) AS bucket
+  FROM fin)
+SELECT doc_id, n_tok,
+  CASE WHEN bucket < 980 THEN 'train'
+       WHEN bucket < 990 THEN 'val' ELSE 'test' END AS split
+FROM spl"""
