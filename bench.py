@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "neardup_embedding_lsh",
     "html_stats",
     "html_extract",
+    "contamination_check",
+    "train_split",
+    "seq_pack",
+    "corpus_pipeline",
 ]
 
 
