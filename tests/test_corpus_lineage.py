@@ -107,7 +107,7 @@ def test_stale_version_recomputes(ray_session, tmp_path, monkeypatch):
     out = str(tmp_path / "run")
     cl.run_corpus_checkpointed(SF, out, n_shards=2, n_buckets=4)
     rec = json.load(open(os.path.join(out, "_lineage", "phaseA", "shard0.json")))
-    assert rec["transform_version"] == cl.corpus_version()
-    monkeypatch.setattr(cl, "corpus_version", lambda: "corpus-v999-changed")
+    assert rec["transform_version"] == cl.corpus_version(2, 4)
+    monkeypatch.setattr(cl, "corpus_version", lambda *a: "corpus-v999-changed")
     m = cl.run_corpus_checkpointed(SF, out, n_shards=2, n_buckets=4)
     assert m["phaseA_run"] == 2 and m["phaseB_run"] == 4

@@ -94,3 +94,39 @@ def test_corpus_pipeline_every_gate_fires(ray_session):
     assert out["doc_id"].tolist() == [1, 2]
     assert (out["n_tok"] == 24).all()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_null_text_parity_with_oracles(ray_session, tmp_path):
+    """The driver fixtures contain no NULL text, so lock the NULL rule
+    (COALESCE -> 0 tokens / weight 0) by running engine and DuckDB
+    oracle over a corpus WITH NULLs and comparing exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from vyperdatum_ray.pipelines.training import (SEQ_PACK_ORACLE,
+                                                   QUALITY_RESAMPLE_ORACLE,
+                                                   q_quality_resample,
+                                                   q_seq_pack)
+
+    texts = ["the quick brown fox jumps over the lazy dog again",
+             None, "", "alpha beta gamma delta epsilon zeta eta theta iota",
+             "1234 5678 90 12 34 56 78 90 11 22", None,
+             "plain english words fill this document with letters only here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+
+    for q, sql in ((q_seq_pack, SEQ_PACK_ORACLE),
+                   (q_quality_resample, QUALITY_RESAMPLE_ORACLE)):
+        eng = q(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        assert list(eng.columns) == list(ora.columns)
+        for c in eng.columns:
+            assert eng[c].tolist() == ora[c].tolist(), (q.__name__, c)
+    # the NULL rows count zero tokens and never shift later offsets
+    sp = q_seq_pack(sf).to_pandas().set_index("doc_id")
+    assert sp.loc[1, "n_tok"] == 0 and sp.loc[5, "n_tok"] == 0
+    assert sp.loc[2, "n_tok"] == 0

@@ -925,7 +925,13 @@ def _jaccard_pairs_flat(flat: np.ndarray, offs: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
-BROADCAST_CAND_CAP = 2_000_000  # candidate-doc broadcast fast-path cap
+# Fast-path cap on CANDIDATE DOCS. The driver collects the candidates'
+# (doc_id, shingle) rows — ~16 bytes per text character, so ~16 KB per
+# 1k-char doc: 250k docs ≈ 4 GB driver RSS worst-case, the budget this
+# cap is derived from. Past it the distributed exchange path takes
+# over. (The cap guarded ~2M docs when the fast path collected only
+# TEXTS — the shingle-row collection is ~8x heavier per doc.)
+BROADCAST_CAND_CAP = 250_000
 
 
 def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.data.Dataset:

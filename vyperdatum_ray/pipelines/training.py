@@ -70,6 +70,33 @@ SELECT doc_id, bucket,
 FROM h"""
 
 
+def _n_tok(text_col) -> np.ndarray:
+    """Whitespace token count with the NULL rule mirrored everywhere:
+    NULL text counts 0 tokens (COALESCE on both sides — without it the
+    Arrow kernel's NaN would cast to INT64_MIN and poison downstream
+    integer sums)."""
+    return pc.count_substring_regex(pc.coalesce(text_col, ""), r"\S+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _quality_weight(text_col) -> np.ndarray:
+    """Integer alpha-density permille in [0, 1000] — the ONE weight
+    formula shared by q_quality_resample and CurateStage (SQL mirror:
+    ``_QUALITY_WEIGHT_SQL``). NULL text weighs 0 and is dropped by
+    every gate that uses it."""
+    text = pc.coalesce(text_col, "")
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = pc.count_substring_regex(text, r"[A-Za-z]") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.minimum(1000, (n_alpha * 1250) // np.maximum(n_chars, 1))
+
+
+_QUALITY_WEIGHT_SQL = (
+    "least(1000, (CAST(length(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]')) "
+    "AS BIGINT) * 1250) // greatest(CAST(length(COALESCE(text, '')) AS BIGINT), 1))"
+)
+
+
 def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
     """Pack the doc_id-ordered corpus into fixed SEQ_LEN-token training
     sequences: each document gets the sequence id and offset where its
@@ -91,8 +118,7 @@ def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
 
     def shard_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ntok = pc.count_substring_regex(t.column("text"), r"\S+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = _n_tok(t.column("text"))
         shard = ids >> PACK_SHARD_BITS
         us, inv = np.unique(shard, return_inverse=True)
         sums = np.bincount(inv, weights=ntok).astype(np.int64)
@@ -112,8 +138,7 @@ def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
 
     def prep(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ntok = pc.count_substring_regex(t.column("text"), r"\S+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = _n_tok(t.column("text"))
         shard = ids >> PACK_SHARD_BITS
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
@@ -154,7 +179,7 @@ def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
 SEQ_PACK_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
-    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+    CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tok
   FROM documents),
 c AS (
   SELECT doc_id, n_tok,
@@ -177,11 +202,7 @@ def q_quality_resample(sf_dir: str) -> ray.data.Dataset:
     threshold anywhere."""
 
     def f(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        w = np.minimum(1000, (n_alpha * 1250) // np.maximum(n_chars, 1))
+        w = _quality_weight(batch.column("text"))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         draw = (_hash32(ids, DRAW_MULT) % np.uint64(1000)).astype(np.int64)
         keep = draw < w
@@ -195,11 +216,10 @@ def q_quality_resample(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-QUALITY_RESAMPLE_ORACLE = """
+QUALITY_RESAMPLE_ORACLE = f"""
 WITH q AS (
   SELECT doc_id,
-    least(1000, (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
-                 * 1250) // greatest(CAST(length(text) AS BIGINT), 1)) AS w_permille,
+    {_QUALITY_WEIGHT_SQL} AS w_permille,
     CAST((CAST(doc_id & 4294967295 AS HUGEINT) * 3266489917)
          % 4294967296 % 1000 AS BIGINT) AS draw
   FROM documents)
@@ -234,12 +254,8 @@ class CurateStage:
 
         pred = self.langid(t).column("lang_pred").to_numpy(zero_copy_only=False)
         text = t.column("text")
-        n_tok = pc.count_substring_regex(text, r"\S+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        w = np.minimum(1000, (n_alpha * 1250) // np.maximum(n_chars, 1))
+        n_tok = _n_tok(text)
+        w = _quality_weight(text)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         grams, doc_of, _ = _ngram_strings(text)
         hit = pc.is_in(grams, value_set=self.probe).to_numpy(zero_copy_only=False)
@@ -311,9 +327,8 @@ sc AS (SELECT doc_id, {', '.join(score_cols)} FROM toks),
 lid AS (SELECT doc_id, {pred} AS lang_pred FROM sc),
 feat AS (
   SELECT doc_id, text,
-    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
-    least(1000, (CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
-                 * 1250) // greatest(CAST(length(text) AS BIGINT), 1)) AS w
+    CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tok,
+    {_QUALITY_WEIGHT_SQL} AS w
   FROM documents),
 tok2 AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a FROM documents),
 win AS (SELECT doc_id, a, unnest(range(1, greatest(len(a) - 7, 0) + 1)) AS i FROM tok2),

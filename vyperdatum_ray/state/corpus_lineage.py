@@ -54,14 +54,22 @@ from vyperdatum_ray.state.lineage import lineage_dir
 CORPUS_SCHEMA_VERSION = 1
 
 
-def corpus_version() -> str:
-    """Stale-detection fingerprint: bump-free hash of every parameter a
-    lineage record's validity depends on."""
+def corpus_version(n_shards: int, n_buckets: int) -> str:
+    """Stale-detection fingerprint: every parameter a lineage record's
+    validity depends on — the curation thresholds, the SHARD/BUCKET
+    geometry (a record names a partition of that geometry; resuming
+    with different counts would silently misassign rows), and the
+    polars version (h_lo/h_hi come from polars' hash, which polars does
+    not guarantee stable across releases — mixing old and new candidate
+    hashes would break cross-shard dedup)."""
+    import polars as pl
+
     from vyperdatum_ray.pipelines.textops import CONTAM_N, CONTAM_PROBE_MOD
     from vyperdatum_ray.pipelines.training import CP_MAX_TOK, CP_MIN_TOK, CP_MIN_W
 
     return (f"corpus-v{CORPUS_SCHEMA_VERSION}-n{CONTAM_N}-p{CONTAM_PROBE_MOD}"
-            f"-t{CP_MIN_TOK}.{CP_MAX_TOK}-w{CP_MIN_W}")
+            f"-t{CP_MIN_TOK}.{CP_MAX_TOK}-w{CP_MIN_W}"
+            f"-s{n_shards}-b{n_buckets}-pl{pl.__version__}")
 
 
 def _records(ldir: str, version: str) -> dict[str, dict]:
@@ -81,12 +89,15 @@ def _records(ldir: str, version: str) -> dict[str, dict]:
     return done
 
 
-def _persisted_probe(sf_dir: str, out_dir: str) -> "ray.ObjectRef":
-    """Probe vocabulary: load the persisted copy if present, else
-    compute once and persist atomically."""
+def _persisted_probe(sf_dir: str, out_dir: str, version: str) -> "ray.ObjectRef":
+    """Probe vocabulary: load the persisted copy if present FOR THIS
+    VERSION, else compute once and persist atomically. The version is
+    part of the filename so a parameter change (e.g. CONTAM_N) can
+    never resume against a stale vocabulary — which would silently
+    disable decontamination."""
     from vyperdatum_ray.pipelines.textops import contam_probe_ref
 
-    path = os.path.join(out_dir, "_probe.parquet")
+    path = os.path.join(out_dir, f"_probe.{version}.parquet")
     if os.path.exists(path):
         return ray.put(pq.read_table(path).column("g").combine_chunks())
     ref = contam_probe_ref(sf_dir)
@@ -109,11 +120,23 @@ def run_corpus_checkpointed(
                                                    _hash32)
 
     t0 = time.perf_counter()
-    version = corpus_version()
+    version = corpus_version(n_shards, n_buckets)
     os.makedirs(out_dir, exist_ok=True)
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.ParquetFile(doc_path).metadata.num_rows
-    bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+    meta = pq.ParquetFile(doc_path).metadata
+    n_docs = meta.num_rows
+    # Shard bounds cover the ACTUAL doc_id value range (from parquet
+    # row-group stats — no data read), not [0, num_rows): ids that
+    # start above 0, are sparse, or exceed the row count all land in
+    # exactly one shard. (With multi-file input, shards would be files
+    # and this range partition disappears.)
+    id_col = meta.schema.names.index("doc_id")
+    stats = [meta.row_group(i).column(id_col).statistics
+             for i in range(meta.num_row_groups)]
+    id_lo = min(s.min for s in stats)
+    id_hi = max(s.max for s in stats) + 1
+    bounds = np.linspace(id_lo, id_hi, n_shards + 1).astype(np.int64)
+    bounds[-1] = id_hi  # exact upper edge despite linspace rounding
 
     cand_dir = os.path.join(out_dir, "candidates")
     final_dir = os.path.join(out_dir, "final")
@@ -129,7 +152,13 @@ def run_corpus_checkpointed(
         "phaseB_total": n_buckets,
     }
     if pending_a:
-        probe_ref = _persisted_probe(sf_dir, out_dir)
+        # Write-ahead invalidation: phase-A output is about to change
+        # and a bucket's input spans every shard, so drop ALL phase-B
+        # records BEFORE any phase-A work — a crash after the phase-A
+        # commits but before this point could otherwise leave valid-
+        # looking phase-B records over stale candidates.
+        shutil.rmtree(ldir_b, ignore_errors=True)
+        probe_ref = _persisted_probe(sf_dir, out_dir, version)
         for k in pending_a:
             shutil.rmtree(os.path.join(cand_dir, f"shard={k}"), ignore_errors=True)
 
@@ -192,11 +221,6 @@ def run_corpus_checkpointed(
                 "n_rows_in": int(bounds[k + 1] - bounds[k]), "n_rows_out": n_out,
                 "transform_version": version,
             })
-        # phase-A output changed -> every bucket's input changed (a
-        # bucket spans all shards): drop ALL phase-B records so phase B
-        # recomputes from the fresh candidates
-        shutil.rmtree(ldir_b, ignore_errors=True)
-
     # ---------------------------------------------------- phase B ---
     done_b = _records(ldir_b, version)
     pending_b = [b for b in range(n_buckets) if f"bucket{b}" not in done_b]
