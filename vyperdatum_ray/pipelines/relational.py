@@ -94,26 +94,24 @@ def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
         pd.Series(cust["c_mktsegment"].to_numpy(), index=cust["c_custkey"].to_numpy())
     )
 
-    class JoinSegment:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            seg = self.lookup.reindex(keys).to_numpy()  # vectorized probe
-            df = pd.DataFrame(
-                {"c_mktsegment": seg,
-                 "price": batch.column("o_totalprice").to_numpy(zero_copy_only=False)}
-            )
-            g = df.groupby("c_mktsegment", as_index=False).agg(
-                p_n=("price", "size"), p_sum=("price", "sum")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    # stateless tasks, not an actor pool: ray.get of the broadcast
+    # lookup is plasma-cached per worker, and pool startup would cost
+    # more than this whole query
+    def join_segment(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        seg = ray.get(lookup_ref).reindex(keys).to_numpy()  # vectorized probe
+        df = pd.DataFrame(
+            {"c_mktsegment": seg,
+             "price": batch.column("o_totalprice").to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            p_n=("price", "size"), p_sum=("price", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = ds.map_batches(
-        JoinSegment, fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        join_segment, batch_format="pyarrow",
     ).groupby("c_mktsegment").aggregate(
         Sum("p_n", alias_name="n_orders"), Sum("p_sum", alias_name="r_sum")
     )
@@ -361,58 +359,57 @@ def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
 
     from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
 
-    class FilterOrders:
-        def __init__(self, ref):
-            self.building = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.less(batch.column("o_orderdate"), cutoff_scalar))
-            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            keep = _member_sorted(ck, self.building)
-            return pa.table({"o_orderkey": pa.array(
-                batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep])})
+    # stateless per-block tasks, not actor pools: the only "state" is a
+    # broadcast ref, and ray.get of an in-plasma object is cached
+    # zero-copy per worker process — the actor pools' startup latency
+    # (~2 s per pool per query) was the dominant cost of this query
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch.column("o_orderdate"), cutoff_scalar))
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(ck, ray.get(building_ref))
+        return pa.table({"o_orderkey": pa.array(
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep])})
 
     okeys = (
         _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(FilterOrders, fn_constructor_kwargs={"ref": building_ref},
-                     batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        .map_batches(filter_orders, batch_format="pyarrow")
         .to_pandas()["o_orderkey"].to_numpy()
     )
     okeys_ref = ray.put(np.sort(okeys))
 
-    class RevenuePartial:
-        def __init__(self, ref):
-            self.okeys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff_scalar))
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(ok, ray.get(okeys_ref))
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        ip = np.rint(price * 100.0).astype(np.int64)
+        idisc = np.rint(disc * 100.0).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": ok[keep], "rev": ip * (100 - idisc)})
+        g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+        g["salt"] = g["l_orderkey"] % 64
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.greater(batch.column("l_shipdate"), cutoff_scalar))
-            ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-            keep = _member_sorted(ok, self.okeys)
-            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
-            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-            ip = np.rint(price * 100.0).astype(np.int64)
-            idisc = np.rint(disc * 100.0).astype(np.int64)
-            df = pd.DataFrame({"l_orderkey": ok[keep], "rev": ip * (100 - idisc)})
-            g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # an orderkey lands wholly in its salt group, so the per-group
+        # top-10 (same ordering as the global one) cannot miss a global
+        # top-10 row
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("p_rev", "sum"))
+        g = g.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+        return g
 
     ds = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    out = ds.map_batches(
-        RevenuePartial, fn_constructor_kwargs={"ref": okeys_ref},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
-    ).groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="r_rev"))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_orderkey": batch.column("l_orderkey"),
-                "revenue": batch.column("r_rev").to_numpy() / 10000.0,
-            }
-        )
-
-    out = out.map_batches(finalize, batch_format="pyarrow")
-    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    # ONE bounded-salt exchange replaces the high-cardinality
+    # groupby(l_orderkey) + full sort pair (two wide ops whose fixed
+    # shuffle cost dominated this query): per-salt groups sum + keep a
+    # local top-10, the driver merges the <=640 candidates.
+    cand = (ds.map_batches(revenue_partial, batch_format="pyarrow")
+            .groupby("salt").map_groups(local_topk, batch_format="pandas")
+            ).to_pandas()
+    cand = cand.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
+    return pd.DataFrame({"l_orderkey": cand["l_orderkey"].to_numpy(),
+                         "revenue": cand["rev"].to_numpy() / 10000.0})
 
 
 ORACLES["tpch_q3"] = """
