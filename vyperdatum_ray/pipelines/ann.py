@@ -89,9 +89,12 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     tie-break (sim desc, neighbor_id asc)."""
     qids, qmat = _query_matrix(sf_dir)
     refs = {"qids_ref": ray.put(qids), "qmat_ref": ray.put(qmat)}
+    # stateless tasks (the "state" is broadcast refs, plasma-cached per
+    # worker; the 10x64 query matrix's norms rebuild in µs) — an
+    # autoscaling actor pool's startup dominated this whole query
     cand = _emb(sf_dir).map_batches(
-        TopKScorer, fn_constructor_kwargs=refs, batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 8), num_cpus=1,
+        lambda t: TopKScorer(**refs)(t), batch_format="pyarrow",
+        batch_size=4096,
     )
     # final reduce: O(queries * k * n_blocks) rows — tiny
     df = cand.to_pandas()
@@ -174,8 +177,8 @@ def q_ann_ivf(sf_dir: str, nlist: int = 16, nprobe: int = 4) -> pd.DataFrame:
         "nprobe": nprobe,
     }
     cand = _emb(sf_dir).map_batches(
-        IVFScorer, fn_constructor_kwargs=refs, batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 8), num_cpus=1,
+        lambda t: IVFScorer(**refs)(t), batch_format="pyarrow",
+        batch_size=4096,
     )
     df = cand.to_pandas()
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])

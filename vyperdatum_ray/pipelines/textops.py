@@ -374,8 +374,12 @@ class LangId:
 
 
 def q_langid(sf_dir: str) -> ray.data.Dataset:
+    # stateless tasks: LangId's "state" is four tiny stopword arrays
+    # (~µs to build), far cheaper than an actor pool's startup — and an
+    # autoscaling (1, N) pool often never ramps past 1 actor on a short
+    # job, serializing the whole scan
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        lambda t: LangId()(t), batch_format="pyarrow"
     )
 
 
@@ -514,7 +518,7 @@ def q_lang_token_stats(sf_dir: str) -> ray.data.Dataset:
             return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangTok, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        lambda t: LangTok()(t), batch_format="pyarrow")
     return ds.groupby("lang_pred").aggregate(
         Sum("p_docs", alias_name="n_docs"), Sum("p_tokens", alias_name="sum_tokens"))
 
@@ -1440,9 +1444,10 @@ def q_unigram_logprob(sf_dir: str, vocab_cap: int = VOCAB_CAP) -> ray.data.Datas
                 "mean_surprisal": pa.array(np.round(mean, 6), pa.float64()),
             })
 
+    # stateless tasks: the actor "state" was just the broadcast LUT,
+    # which ray.get returns plasma-cached per worker
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Score, fn_constructor_kwargs={"ref": lut_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: Score(lut_ref)(t), batch_format="pyarrow",
     )
 
 
