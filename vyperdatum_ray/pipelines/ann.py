@@ -255,9 +255,12 @@ def q_neardup_embedding(sf_dir: str, tau: float = 0.4,
     blocks = emb.repartition(n_blocks).materialize()
     refs = blocks.to_arrow_refs()
     pairs = [{"bi": i, "bj": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    # stateless per-pair tasks: block fetches are zero-copy plasma gets
+    # cached per worker, so the per-actor block cache bought nothing an
+    # actor pool's startup didn't cost back
     return ray.data.from_items(pairs).map_batches(
-        BlockPairScorer, fn_constructor_kwargs={"refs": refs, "tau": tau},
-        batch_format="pyarrow", batch_size=1, concurrency=(1, 8), num_cpus=1,
+        lambda t: BlockPairScorer(refs=refs, tau=tau)(t),
+        batch_format="pyarrow", batch_size=1,
     )
 
 
@@ -312,8 +315,7 @@ def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Datase
             })
 
     return _emb(sf_dir).map_batches(
-        AssignCluster, fn_constructor_kwargs={"ref": lut_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: AssignCluster(lut_ref)(t), batch_format="pyarrow",
     )
 
 
@@ -414,8 +416,7 @@ def q_neardup_embedding_lsh(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
     from vyperdatum_ray.pipelines.textops import _dedup_pair_ds
 
     ds = _emb(sf_dir).map_batches(
-        CodeStage, fn_constructor_kwargs={"ref": planes_ref},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        lambda t: CodeStage(planes_ref)(t), batch_format="pyarrow",
     )
     cand = ds.groupby(["band_id", "bucket"]).map_groups(score_group, batch_format="pandas")
     out = _dedup_pair_ds(cand)

@@ -256,16 +256,19 @@ def raster_transform(sf_dir: str, allow_outside: bool = False,
     meta = raster_meta(sf_dir)
     order = _stack_order(sf_dir, from_datum, to_datum)
     state_ref = ray.put(_load_state(sf_dir, from_datum, to_datum))
+    # stateless tasks: the per-"actor" state is one ray.get of the
+    # broadcast grid state (plasma-cached per worker) plus scalars —
+    # cheaper rebuilt per task than paying an actor pool's startup
+    kwargs = {
+        "state_ref": state_ref,
+        "stack_order": order,
+        "allow_outside": allow_outside,
+        "in_is_height": bool(meta["in_is_height"]),
+        "out_is_height": bool(meta["out_is_height"]),
+    }
     return raster_cells(sf_dir).map_batches(
-        RasterSepApply,
-        fn_constructor_kwargs={
-            "state_ref": state_ref,
-            "stack_order": order,
-            "allow_outside": allow_outside,
-            "in_is_height": bool(meta["in_is_height"]),
-            "out_is_height": bool(meta["out_is_height"]),
-        },
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8), num_cpus=1,
+        lambda t: RasterSepApply(**kwargs)(t),
+        batch_format="pyarrow", batch_size=65536,
     )
 
 
@@ -295,9 +298,8 @@ def q_raster_sep(sf_dir: str) -> ray.data.Dataset:
             return t.filter(pc.greater_equal(t.column("region_index"), 0))
 
     return raster_cells(sf_dir, ["row", "col"]).map_batches(
-        SepOnly,
-        fn_constructor_kwargs={"state_ref": state_ref, "stack_order": order},
-        batch_format="pyarrow", batch_size=65536, concurrency=(1, 8), num_cpus=1,
+        lambda t: SepOnly(state_ref=state_ref, stack_order=order)(t),
+        batch_format="pyarrow", batch_size=65536,
     )
 
 
