@@ -570,8 +570,7 @@ def q_sampled_transform(sf_dir: str, d: float = SAMPLE_D) -> ray.data.Dataset:
             return t.filter(pc.greater_equal(t.column("region_index"), 0))
 
     return geo.map_batches(
-        CellLookup, fn_constructor_kwargs={"lut_ref": lut_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: CellLookup(lut_ref)(t), batch_format="pyarrow",
     )
 
 
@@ -598,11 +597,7 @@ def q_knn_grid_node(sf_dir: str) -> ray.data.Dataset:
             )
 
     return _geo(sf_dir, GEO_SLIM).map_batches(
-        NearestNode,
-        fn_constructor_kwargs={"gref": gref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=1,
+        lambda t: NearestNode(gref)(t), batch_format="pyarrow",
     )
 
 
@@ -689,8 +684,7 @@ def q_knn_grid_nodes(sf_dir: str, k: int = 4) -> ray.data.Dataset:
             )
 
     return _geo(sf_dir, GEO_SLIM).map_batches(
-        KnnNodes, fn_constructor_kwargs={"gref": gref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: KnnNodes(gref, k)(t), batch_format="pyarrow",
     )
 
 

@@ -160,8 +160,7 @@ def q_raster_valid_counts(sf_dir: str) -> ray.data.Dataset:
                              "partial_n": pa.array(counts, pa.int64())})
 
     ds = raster_cells(sf_dir, ["row", "col"]).map_batches(
-        Partial, fn_constructor_kwargs={"state_ref": state_ref},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: Partial(state_ref=state_ref)(t), batch_format="pyarrow",
     )
     return ds.groupby("region").aggregate(Sum("partial_n", alias_name="n_valid"))
 

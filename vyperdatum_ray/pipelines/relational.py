@@ -463,8 +463,7 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cand = ds.map_batches(
-        LocalTopK, fn_constructor_kwargs={"ref": seg_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1,
+        lambda t: LocalTopK(seg_ref, k)(t), batch_format="pyarrow",
     )
     return cand.groupby("c_mktsegment").map_groups(final_topk, batch_format="pandas")
 

@@ -288,9 +288,11 @@ def q_corpus_pipeline(sf_dir: str,
 
     probe_ref = contam_probe_ref(sf_dir, input_ds=input_ds)
     docs = input_ds if input_ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    # stateless tasks: CurateStage's "state" is the broadcast probe
+    # ref (plasma-cached per worker) plus the µs-built LangId arrays —
+    # a model-loading curate stage would be an actor pool instead
     ds = docs.map_batches(
-        CurateStage, fn_constructor_kwargs=dict(probe_ref=probe_ref),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        lambda t: CurateStage(probe_ref)(t), batch_format="pyarrow",
     )
 
     def add_salt(t: pa.Table) -> pa.Table:
