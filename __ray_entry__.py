@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_sketch": textops.q_top_hosts_sketch,
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding_lsh": ann.q_neardup_embedding_lsh,
+        "kmeans_embeddings": ann.q_kmeans_embeddings,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "frame_sample": multimodal.q_frame_sample,
     }

@@ -330,3 +330,39 @@ def test_contamination_flags_probe_docs_and_true_overlaps(ray_session):
     for did in list(texts)[:200]:
         expect = len(probe & grams(texts[did])) > 0
         assert bool(out.loc[did, "contaminated"]) == expect, did
+
+
+def test_kmeans_matches_single_process_lloyd(ray_session):
+    """Distributed k-means must equal a single-process Lloyd run with
+    the same seeded init: same assignments after the same number of
+    iterations (argmin is order-independent; float64 partial-sum order
+    differences are far below the cluster-separation scale here)."""
+    from vyperdatum_ray.pipelines.ann import q_kmeans_embeddings
+
+    out = q_kmeans_embeddings(SF, k=16, iters=6).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    rng = np.random.default_rng(7)
+    emb0 = mat[:4096]  # = the engine's limit(4096) sample (ids are dense)
+    cents = emb0[rng.choice(len(emb0), size=16, replace=False)]
+    for _ in range(6):
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ cents.T)
+              + (cents * cents).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        for c in range(16):
+            m = a == c
+            if m.any():
+                cents[c] = mat[m].mean(axis=0)
+    d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ cents.T)
+          + (cents * cents).sum(1)[None, :])
+    ref_assign = np.argmin(d2, axis=1)
+    assert (out["vec_id"].to_numpy() == ids).all()
+    assert (out["cluster"].to_numpy() == ref_assign).all()
+    # more Lloyd iterations never increase inertia
+    one = q_kmeans_embeddings(SF, k=16, iters=1).to_pandas()
+    assert out["dist2"].sum() <= one["dist2"].sum() + 1e-9

@@ -424,3 +424,84 @@ def q_neardup_embedding_lsh(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
         lambda t: pa.table({"vec_id_a": t.column("id_a"), "vec_id_b": t.column("id_b")}),
         batch_format="pyarrow",
     )
+
+
+def q_kmeans_embeddings(sf_dir: str, k: int = 16,
+                        iters: int = 6) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the FULL embeddings table — the
+    iterative-algorithm pattern the Dataset API doesn't ship: each
+    iteration is one streaming pass (per-batch partial centroid sums)
+    plus one bounded shuffle (groupby over k x dim partial rows), the
+    driver holds only the k x dim centroid matrix and broadcasts it
+    back. Nothing corpus-sized ever materializes; wall time is
+    iters x (scan + tiny shuffle). Deterministic: seeded init from a
+    bounded sample (``_train_centroids``'s sample discipline), ties
+    break to the lowest centroid index via argmin.
+
+    Output: (vec_id, cluster, dist2) from a final assignment pass with
+    the converged centroids. Rows-only (k-means isn't SQL-expressible);
+    tests assert determinism, non-increasing inertia per iteration, and
+    that every row's cluster is the true argmin of the final centroids.
+    """
+    from ray.data.aggregate import Sum
+
+    sample = _emb(sf_dir).limit(4096).to_pandas()
+    emb0 = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(7)
+    cents = emb0[rng.choice(len(emb0), size=min(k, len(emb0)), replace=False)]
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            _ids, mat = _batch_to_matrix(t)
+            d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
+                  + (c * c).sum(1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            n = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mat)
+            live = np.flatnonzero(n)
+            # long format: (cluster, dim, s) + one (cluster, -1, n) row
+            # per live cluster — k x (dim+1) rows per batch, so the
+            # shuffle input is O(batches x k x dim), never O(rows)
+            cl = np.repeat(live, dim)
+            dm = np.tile(np.arange(dim, dtype=np.int64), len(live))
+            return pa.table({
+                "cluster": pa.array(np.concatenate([cl, live]), pa.int64()),
+                "d": pa.array(np.concatenate(
+                    [dm, np.full(len(live), -1, np.int64)]), pa.int64()),
+                "s": pa.array(np.concatenate(
+                    [sums[live].ravel(), n[live].astype(np.float64)]),
+                    pa.float64()),
+            })
+
+        agg = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+               .groupby(["cluster", "d"]).aggregate(Sum("s", alias_name="t"))
+               .to_pandas())
+        counts = agg[agg["d"] == -1].set_index("cluster")["t"]
+        sums_df = agg[agg["d"] >= 0].pivot(index="cluster", columns="d",
+                                           values="t")
+        new = cents.copy()
+        for ci in sums_df.index:
+            if counts.get(ci, 0) > 0:
+                new[int(ci)] = sums_df.loc[ci].to_numpy() / counts[ci]
+        cents = new
+
+    cref = ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _batch_to_matrix(t)
+        d2 = ((mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T)
+              + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist2": pa.array(d2[np.arange(len(a)), a], pa.float64()),
+        })
+
+    return _emb(sf_dir).map_batches(assign_final, batch_format="pyarrow")
