@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Oracle-backed entries past the driver's 50-entry adjudication
         # window (local gate + pytest cover them): training-set
         # assembly ops.
+        "tfidf_terms": textops.q_tfidf_terms,
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
         "quality_resample": training.q_quality_resample,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
     from vyperdatum_ray.pipelines.textops import (CONTAMINATION_ORACLE,
                                                   SAMPLE_DOCUMENTS_ORACLE,
+                                                  TFIDF_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
@@ -263,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": oracle.q_pii_redact(fx),
         "line_dedup": oracle.q_line_dedup(fx),
         "contamination_check": CONTAMINATION_ORACLE,
+        "tfidf_terms": TFIDF_ORACLE,
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,
         "quality_resample": QUALITY_RESAMPLE_ORACLE,

@@ -119,10 +119,16 @@ def test_null_text_parity_with_oracles(ray_session, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
 
+    from vyperdatum_ray.pipelines.textops import TFIDF_ORACLE, q_tfidf_terms
+
     for q, sql in ((q_seq_pack, SEQ_PACK_ORACLE),
-                   (q_quality_resample, QUALITY_RESAMPLE_ORACLE)):
-        eng = q(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
-        ora = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+                   (q_quality_resample, QUALITY_RESAMPLE_ORACLE),
+                   (q_tfidf_terms, TFIDF_ORACLE)):
+        eng = q(sf).to_pandas()
+        ora = con.execute(sql).df()
+        keys = [c for c in ("doc_id", "rank") if c in eng.columns]
+        eng = eng.sort_values(keys).reset_index(drop=True)
+        ora = ora.sort_values(keys).reset_index(drop=True)
         assert list(eng.columns) == list(ora.columns)
         for c in eng.columns:
             assert eng[c].tolist() == ora[c].tolist(), (q.__name__, c)

@@ -1521,3 +1521,98 @@ def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+TFIDF_VOCAB_CAP = 65536
+TFIDF_K = 5
+
+
+def q_tfidf_terms(sf_dir: str, k: int = TFIDF_K,
+                  vocab_cap: int = TFIDF_VOCAB_CAP) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms (the classic keyword extractor).
+    Two passes, both streaming: (1) document frequencies via per-batch
+    (doc, token)-deduped partials + a bounded groupby-sum; the top
+    ``vocab_cap`` tokens by (df desc, token) form the vocabulary
+    (bounded driver state, same cap discipline as the unigram model);
+    (2) the (vocab, idf) table broadcasts once and each doc scores
+    tf x idf_q and keeps its local top-k — no second shuffle at all.
+    Float parity: idf is quantized to integer micro-nats
+    (``floor(ln(N/df) * 1e6 + 0.5)``, identical expression in the SQL
+    mirror), so scores are exact int64 products and the (score desc,
+    term asc) ranking is deterministic on both sides."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata only
+
+    def _flat_tokens(t: pa.Table):
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.coalesce(col, ""), r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        mask = flat != ""
+        return flat[mask], doc_of[mask]
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of = _flat_tokens(t)
+        uniq = pd.DataFrame({"d": doc_of, "t": flat}).drop_duplicates()
+        g = uniq.groupby("t", as_index=False).agg(p_df=("d", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dftab = (docs.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("t").aggregate(Sum("p_df", alias_name="df"))
+             .to_pandas()
+             .sort_values(["df", "t"], ascending=[False, True])
+             .head(vocab_cap))
+    idf_q = np.floor(np.log(float(n_docs) / dftab["df"].to_numpy())
+                     * 1e6 + 0.5).astype(np.int64)
+    vref = ray.put(pd.DataFrame({"t": dftab["t"].to_numpy(),
+                                 "idf_q": idf_q}))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab = ray.get(vref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, doc_of = _flat_tokens(t)
+        tf = (pd.DataFrame({"doc_id": ids[doc_of], "t": flat})
+              .groupby(["doc_id", "t"], as_index=False).size())
+        sc = tf.merge(vocab, on="t")  # OOV terms drop out (mirrored)
+        sc["score"] = sc["size"].to_numpy() * sc["idf_q"].to_numpy()
+        sc = sc.sort_values(["doc_id", "score", "t"],
+                            ascending=[True, False, True])
+        sc["rank"] = sc.groupby("doc_id").cumcount() + 1
+        out = sc[sc["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(out["t"].to_numpy(), pa.string()),
+            "rank": pa.array(out["rank"].to_numpy().astype(np.int64), pa.int64()),
+            "score": pa.array(out["score"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                       x -> length(x) > 0)) AS t
+  FROM documents),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+dfq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY t),
+vocab AS (
+  SELECT t, df FROM (
+    SELECT t, df, row_number() OVER (ORDER BY df DESC, t) AS rn FROM dfq)
+  WHERE rn <= 65536),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+idf AS (SELECT t, CAST(floor(ln(n.n / df) * 1000000.0 + 0.5) AS BIGINT) AS idf_q
+        FROM vocab, n),
+sc AS (SELECT tf.doc_id, tf.t, tf.tf * idf.idf_q AS score FROM tf JOIN idf USING (t)),
+r AS (SELECT doc_id, t, score,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+      FROM sc)
+SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
+FROM r WHERE rank <= 5"""
