@@ -461,8 +461,11 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
                   + (c * c).sum(1)[None, :])
             assign = np.argmin(d2, axis=1)
             n = np.bincount(assign, minlength=len(c)).astype(np.int64)
-            sums = np.zeros_like(c)
-            np.add.at(sums, assign, mat)
+            # per-dim weighted bincount: ~10x np.add.at (which is an
+            # unbuffered per-element loop) in this per-batch hot path
+            sums = np.stack(
+                [np.bincount(assign, weights=mat[:, j], minlength=len(c))
+                 for j in range(mat.shape[1])], axis=1)
             live = np.flatnonzero(n)
             # long format: (cluster, dim, s) + one (cluster, -1, n) row
             # per live cluster — k x (dim+1) rows per batch, so the

@@ -90,16 +90,22 @@ def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
     """Broadcast hash join: customer (small side) is ray.put once and
     looked up per batch — no shuffle (SURVEY.md §2.4 pattern)."""
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(
-        pd.Series(cust["c_mktsegment"].to_numpy(), index=cust["c_custkey"].to_numpy())
-    )
+    cust = cust.sort_values("c_custkey")
+    seg_cat = cust["c_mktsegment"].astype("category")
+    # broadcast NUMPY arrays (sorted keys + small int codes): ray.get of
+    # numpy is zero-copy plasma-cached per worker — a pandas Series of
+    # strings would be re-unpickled on every batch
+    lookup_ref = ray.put((cust["c_custkey"].to_numpy(),
+                          seg_cat.cat.codes.to_numpy().astype(np.int64)))
+    categories = list(seg_cat.cat.categories)  # tiny, captured by value
 
-    # stateless tasks, not an actor pool: ray.get of the broadcast
-    # lookup is plasma-cached per worker, and pool startup would cost
-    # more than this whole query
     def join_segment(batch: pa.Table) -> pa.Table:
+        skeys, scodes = ray.get(lookup_ref)
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        seg = ray.get(lookup_ref).reindex(keys).to_numpy()  # vectorized probe
+        pos = np.searchsorted(skeys, keys)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        code = np.where(skeys[pos] == keys, scodes[pos], -1)
+        seg = np.array(categories + [None], dtype=object)[code]
         df = pd.DataFrame(
             {"c_mktsegment": seg,
              "price": batch.column("o_totalprice").to_numpy(zero_copy_only=False)}
@@ -342,7 +348,7 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id"""
 
 
-def q_tpch_q3(sf_dir: str) -> ray.data.Dataset:
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape: 3-way join (customer |> orders |> lineitem) via
     chained broadcast lookups. The BUILDING custkey set is broadcast
     once; ORDERS STREAMS through a map_batches filter (never

@@ -1570,17 +1570,23 @@ def q_tfidf_terms(sf_dir: str, k: int = TFIDF_K,
              .head(vocab_cap))
     idf_q = np.floor(np.log(float(n_docs) / dftab["df"].to_numpy())
                      * 1e6 + 0.5).astype(np.int64)
-    vref = ray.put(pd.DataFrame({"t": dftab["t"].to_numpy(),
-                                 "idf_q": idf_q}))
+    # broadcast as an Arrow array + numpy ints: ray.get is zero-copy
+    # for those, while a pandas object-dtype frame would be re-unpickled
+    # (65k strings) on EVERY batch of the scoring pass
+    vref = ray.put((pa.array(dftab["t"].to_numpy(), pa.string()), idf_q))
 
     def score(t: pa.Table) -> pa.Table:
-        vocab = ray.get(vref)
+        vocab_arr, idfq = ray.get(vref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         flat, doc_of = _flat_tokens(t)
         tf = (pd.DataFrame({"doc_id": ids[doc_of], "t": flat})
               .groupby(["doc_id", "t"], as_index=False).size())
-        sc = tf.merge(vocab, on="t")  # OOV terms drop out (mirrored)
-        sc["score"] = sc["size"].to_numpy() * sc["idf_q"].to_numpy()
+        idx = pc.index_in(pa.array(tf["t"].to_numpy(), pa.string()),
+                          value_set=vocab_arr)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        sc = tf[valid].copy()
+        vi = idx.to_numpy(zero_copy_only=False)[valid].astype(np.int64)
+        sc["score"] = sc["size"].to_numpy() * idfq[vi]  # OOV dropped (mirrored)
         sc = sc.sort_values(["doc_id", "score", "t"],
                             ascending=[True, False, True])
         sc["rank"] = sc.groupby("doc_id").cumcount() + 1

@@ -244,7 +244,10 @@ class CurateStage:
     def __init__(self, probe_ref):
         from vyperdatum_ray.pipelines.textops import LangId
 
-        pa.set_cpu_count(1)
+        # NOTE: no pa.set_cpu_count here — this class also runs inside
+        # stateless tasks on shared long-lived workers, where that
+        # process-global setting would leak to every later query; the
+        # actor-scoped subclass in state/corpus_lineage.py sets it.
         self.langid = LangId()
         self.probe = ray.get(probe_ref)
 

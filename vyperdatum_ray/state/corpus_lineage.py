@@ -133,10 +133,23 @@ def run_corpus_checkpointed(
     id_col = meta.schema.names.index("doc_id")
     stats = [meta.row_group(i).column(id_col).statistics
              for i in range(meta.num_row_groups)]
-    id_lo = min(s.min for s in stats)
-    id_hi = max(s.max for s in stats) + 1
-    bounds = np.linspace(id_lo, id_hi, n_shards + 1).astype(np.int64)
-    bounds[-1] = id_hi  # exact upper edge despite linspace rounding
+    if all(s is not None and s.min is not None and s.max is not None
+           for s in stats):
+        id_lo = min(s.min for s in stats)
+        id_hi = max(s.max for s in stats) + 1
+    else:
+        # statistics disabled by the writer: one cheap id-column scan
+        ids = pq.read_table(doc_path, columns=["doc_id"]).column("doc_id")
+        import pyarrow.compute as _pc
+
+        id_lo = _pc.min(ids).as_py()
+        id_hi = _pc.max(ids).as_py() + 1
+    # Integer bound arithmetic (Python ints): np.linspace goes through
+    # float64 and mis-rounds ids above 2^53, which would drop the
+    # lowest documents from every shard.
+    span = id_hi - id_lo
+    bounds = np.array([id_lo + span * i // n_shards
+                       for i in range(n_shards + 1)], dtype=np.int64)
 
     cand_dir = os.path.join(out_dir, "candidates")
     final_dir = os.path.join(out_dir, "final")
@@ -191,6 +204,12 @@ def run_corpus_checkpointed(
             })
 
         class CurateKeepShard(CurateStage):
+            def __init__(self, probe_ref):
+                super().__init__(probe_ref)
+                # actor-scoped (this pool's workers die with the pool):
+                # one Arrow thread per 1-CPU actor
+                pa.set_cpu_count(1)
+
             def __call__(self, t: pa.Table) -> pa.Table:
                 shard = t.column("shard")
                 kept = super().__call__(t.drop_columns(["shard"]))
@@ -217,8 +236,12 @@ def run_corpus_checkpointed(
                                 .metadata.num_rows
             _commit_record_in(ldir_a, {
                 "schema_version": CORPUS_SCHEMA_VERSION, "part": f"shard{k}",
-                "shard": f"shard{k}", "row_range": [int(bounds[k]), int(bounds[k + 1])],
-                "n_rows_in": int(bounds[k + 1] - bounds[k]), "n_rows_out": n_out,
+                # id_range is the doc_id VALUE range this shard owns —
+                # with sparse ids its width is not a row count, so no
+                # n_rows_in is claimed (n_rows_out is measured output)
+                "shard": f"shard{k}",
+                "id_range": [int(bounds[k]), int(bounds[k + 1])],
+                "n_rows_out": n_out,
                 "transform_version": version,
             })
     # ---------------------------------------------------- phase B ---
