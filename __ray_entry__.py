@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window (local gate + pytest cover them): training-set
         # assembly ops.
         "tfidf_terms": textops.q_tfidf_terms,
+        "bigram_logprob": textops.q_bigram_logprob,
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
         "quality_resample": training.q_quality_resample,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
     from vyperdatum_ray.pipelines.textops import (CONTAMINATION_ORACLE,
                                                   SAMPLE_DOCUMENTS_ORACLE,
+                                                  BIGRAM_LOGPROB_ORACLE,
                                                   TFIDF_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
@@ -266,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": oracle.q_line_dedup(fx),
         "contamination_check": CONTAMINATION_ORACLE,
         "tfidf_terms": TFIDF_ORACLE,
+        "bigram_logprob": BIGRAM_LOGPROB_ORACLE,
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,
         "quality_resample": QUALITY_RESAMPLE_ORACLE,

@@ -119,11 +119,15 @@ def test_null_text_parity_with_oracles(ray_session, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
 
-    from vyperdatum_ray.pipelines.textops import TFIDF_ORACLE, q_tfidf_terms
+    from vyperdatum_ray.pipelines.textops import (BIGRAM_LOGPROB_ORACLE,
+                                                   TFIDF_ORACLE,
+                                                   q_bigram_logprob,
+                                                   q_tfidf_terms)
 
     for q, sql in ((q_seq_pack, SEQ_PACK_ORACLE),
                    (q_quality_resample, QUALITY_RESAMPLE_ORACLE),
-                   (q_tfidf_terms, TFIDF_ORACLE)):
+                   (q_tfidf_terms, TFIDF_ORACLE),
+                   (q_bigram_logprob, BIGRAM_LOGPROB_ORACLE)):
         eng = q(sf).to_pandas()
         ora = con.execute(sql).df()
         keys = [c for c in ("doc_id", "rank") if c in eng.columns]

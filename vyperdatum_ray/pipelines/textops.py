@@ -95,9 +95,9 @@ CONTAM_N = 8          # n-gram width for decontamination
 CONTAM_PROBE_MOD = 97  # synthetic "benchmark" set: doc_id % 97 == 0
 
 
-def _ngram_strings(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+def _ngram_strings(text_col, n: int = CONTAM_N) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """EXACT word n-gram strings for a batch, fully vectorized: split
-    to tokens, then join CONTAM_N zero-copy shifted slices of the flat
+    to tokens, then join ``n`` zero-copy shifted slices of the flat
     token array element-wise; windows crossing document boundaries are
     masked out. Returns (grams, doc_of_gram, n_docs_tokens) where
     ``grams`` are the literal space-joined n-gram strings — bit-equal
@@ -109,17 +109,17 @@ def _ngram_strings(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     flat = pc.list_flatten(toks)
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     m = len(flat)
-    n_win = m - CONTAM_N + 1
+    n_win = m - n + 1
     if n_win <= 0:
         return pa.array([], pa.string()), np.zeros(0, np.int64), counts
     joined = pc.binary_join_element_wise(
-        *[flat.slice(j, n_win) for j in range(CONTAM_N)], " ")
+        *[flat.slice(j, n_win) for j in range(n)], " ")
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     doc_of_pos = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     doc_of = doc_of_pos[:n_win]
     pos_in_doc = np.arange(n_win, dtype=np.int64) - starts[doc_of]
-    valid = pos_in_doc <= counts[doc_of] - CONTAM_N
+    valid = pos_in_doc <= counts[doc_of] - n
     return (joined.filter(pa.array(valid)), doc_of[np.flatnonzero(valid)], counts)
 
 
@@ -1622,3 +1622,92 @@ r AS (SELECT doc_id, t, score,
       FROM sc)
 SELECT doc_id, t AS term, CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
 FROM r WHERE rank <= 5"""
+
+
+BIGRAM_VOCAB_CAP = 65536
+
+
+def q_bigram_logprob(sf_dir: str, vocab_cap: int = BIGRAM_VOCAB_CAP) -> ray.data.Dataset:
+    """Bigram-model surprisal scoring — the unigram perplexity proxy's
+    sharper sibling: per-document mean joint-bigram surprisal
+    ``-ln(c(bigram) / total_bigrams)`` under the corpus's own bigram
+    distribution. Same two-pass shape and the same float-parity
+    discipline as ``q_unigram_logprob``: (1) per-batch bigram-string
+    partials (``_ngram_strings`` with n=2) merged by a bounded
+    groupby-sum; the top ``vocab_cap`` bigrams by (count desc, gram)
+    form the vocabulary, the tail pools into one OOV bucket; (2) the
+    (vocab, s_int) table broadcasts once as Arrow (zero-copy per
+    worker) and documents stream through one ``pc.index_in`` lookup.
+    Per-bigram surprisal is quantized to integer micro-nats
+    (``floor(s * 1e6 + 0.5)``, identical in the SQL mirror) BEFORE
+    summing, so the per-doc mean is exact. Docs with < 2 tokens score
+    0 with n_bigrams 0."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        grams, _doc_of, _ = _ngram_strings(t.column("text"), n=2)
+        g = pd.DataFrame({"g": grams.to_numpy(zero_copy_only=False)}) \
+            .groupby("g", as_index=False).size()
+        return pa.table({"g": pa.array(g["g"].to_numpy(), pa.string()),
+                         "p_n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    freq = (docs.map_batches(freq_partial, batch_format="pyarrow")
+            .groupby("g").aggregate(Sum("p_n", alias_name="n"))
+            .to_pandas().sort_values(["n", "g"], ascending=[False, True]))
+    total = float(freq["n"].sum())
+    head = freq.head(vocab_cap)
+    oov_count = float(freq["n"][vocab_cap:].sum())
+    s_int = np.floor(-np.log(head["n"].to_numpy() / total) * 1e6 + 0.5) \
+        .astype(np.int64)
+    oov_s = (np.int64(np.floor(-np.log(oov_count / total) * 1e6 + 0.5))
+             if oov_count > 0 else np.int64(0))
+    vref = ray.put((pa.array(head["g"].to_numpy(), pa.string()), s_int, oov_s))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_arr, sint, oov = ray.get(vref)
+        grams, doc_of, counts = _ngram_strings(t.column("text"), n=2)
+        idx = pc.index_in(grams, value_set=vocab_arr)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
+        idx_np = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.where(valid, sint[idx_np], oov).astype(np.float64)
+        n_rows = t.num_rows
+        n_bi = np.bincount(doc_of, minlength=n_rows).astype(np.int64)
+        sums = np.bincount(doc_of, weights=s, minlength=n_rows)
+        mean = np.where(n_bi > 0,
+                        sums / (np.maximum(n_bi, 1).astype(np.float64) * 1e6), 0.0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(n_bi, pa.int64()),
+            "mean_surprisal": pa.array(np.round(mean, 6), pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\s+') AS a
+  FROM documents),
+win AS (SELECT doc_id, a, unnest(range(1, greatest(len(a) - 1, 0) + 1)) AS i FROM tok),
+grams AS (SELECT doc_id, array_to_string(list_slice(a, i, i + 1), ' ') AS g FROM win),
+freq AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY g),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+ranked AS (SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rn FROM freq),
+oov AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS oc FROM ranked WHERE rn > 65536),
+scored AS (
+  SELECT grams.doc_id,
+    CAST(floor((0.0 - ln(CASE WHEN r.rn <= 65536 THEN r.c / tot.n
+                              ELSE oov.oc / tot.n END)) * 1000000.0 + 0.5)
+         AS BIGINT) AS s_int
+  FROM grams JOIN ranked r ON r.g = grams.g CROSS JOIN tot CROSS JOIN oov),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+    """ + sql_rn(
+    "CAST(sum(s_int) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6
+) + r""" AS mean_surprisal
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  COALESCE(a.mean_surprisal, 0.0) AS mean_surprisal
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
