@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "train_split",
     "seq_pack",
     "corpus_pipeline",
+    "tfidf_terms",
+    "kmeans_embeddings",
 ]
 
 

@@ -544,13 +544,17 @@ def q_region_median(sf_dir: str) -> ray.data.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
-    hist = ds.groupby(["region_index", "zmm"]).aggregate(Sum("p_n", alias_name="n"))
 
-    def median_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("zmm")
-        n = int(df["n"].sum())
-        cum = df["n"].cumsum().to_numpy()
-        zv = df["zmm"].to_numpy() / 1000.0
+    # ONE exchange, not two: the per-batch partials go straight to a
+    # bounded groupby(region) whose group merges its (zmm, count) rows
+    # vectorized — the old groupby(region, zmm).aggregate before it
+    # added a second all-to-all whose fixed sort-shuffle cost dwarfed
+    # the few thousand partial rows it merged.
+    def median_of_region(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("zmm")["p_n"].sum().sort_index()
+        n = int(g.sum())
+        cum = g.cumsum().to_numpy()
+        zv = g.index.to_numpy() / 1000.0
         lo_pos = (n - 1) // 2
         hi_pos = n // 2
         lo = zv[np.searchsorted(cum, lo_pos + 1)]
@@ -561,7 +565,7 @@ def q_region_median(sf_dir: str) -> ray.data.Dataset:
             "median_z": [(lo + hi) / 2],
         })
 
-    return hist.groupby("region_index").map_groups(median_of_group, batch_format="pandas")
+    return ds.groupby("region_index").map_groups(median_of_region, batch_format="pandas")
 
 
 ORACLES_MEDIAN_NOTE = "region_median oracle lives in oracle.py (needs the transform CTEs)"
