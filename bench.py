@@ -125,8 +125,18 @@ def run_once(num_cpus: int, queries: list[str]) -> dict:
         # (measured: a random query per run stalled 14-20 s at 8 CPUs
         # with task_submission_backpressure while 7 actors sat pending).
         # Collect between queries so each timing measures the query, not
-        # the predecessor's teardown latency.
+        # the predecessor's teardown latency — then briefly wait for the
+        # freed CPUs to actually return (ray.kill is async; a residual
+        # ~2x stall migrated between queries when a 28-actor pool spawned
+        # while the previous one was still dying).
         gc.collect()
+        deadline = time.perf_counter() + 5.0
+        while time.perf_counter() < deadline:
+            import ray as _ray
+
+            if _ray.available_resources().get("CPU", 0) >= num_cpus - 0.5:
+                break
+            time.sleep(0.05)
 
     flagship_s = timings.get("flagship", sum(timings.values()))
     out = {

@@ -111,7 +111,12 @@ def test_null_text_parity_with_oracles(ray_session, tmp_path):
     texts = ["the quick brown fox jumps over the lazy dog again",
              None, "", "alpha beta gamma delta epsilon zeta eta theta iota",
              "1234 5678 90 12 34 56 78 90 11 22", None,
-             "plain english words fill this document with letters only here"]
+             "plain english words fill this document with letters only here",
+             "  leading and trailing whitespace  ",
+             "tabs\tand\nnewlines separate\t\ttokens oddly",
+             " ", "repeat repeat repeat repeat repeat repeat",
+             "caf\u00e9 na\u00efve \u00fcber unicode tokens mixed with ascii",
+             "x " * 300 + "y"]
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string())})
     sf = str(tmp_path)
