@@ -431,10 +431,13 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
     """Distributed Lloyd's k-means over the FULL embeddings table — the
     iterative-algorithm pattern the Dataset API doesn't ship: each
     iteration is one streaming pass (per-batch partial centroid sums)
-    plus one bounded shuffle (groupby over k x dim partial rows), the
+    whose fixed-shape k x (dim+1) partials merge through a fan-in-8
+    TREE of raw Ray tasks (classic treeAggregate — the one reduce shape
+    Dataset's sort-based groupby can't do cheaply: its per-exchange
+    fixed cost was ~2.5 s per iteration for 33 KB of partials), and the
     driver holds only the k x dim centroid matrix and broadcasts it
     back. Nothing corpus-sized ever materializes; wall time is
-    iters x (scan + tiny shuffle). Deterministic: seeded init from a
+    iters x (scan + log8(blocks) merge rounds). Deterministic: seeded init from a
     bounded sample (``_train_centroids``'s sample discipline), ties
     break to the lowest centroid index via argmin.
 
@@ -443,13 +446,19 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
     tests assert determinism, non-increasing inertia per iteration, and
     that every row's cluster is the true argmin of the final centroids.
     """
-    from ray.data.aggregate import Sum
-
     sample = _emb(sf_dir).limit(4096).to_pandas()
     emb0 = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(7)
     cents = emb0[rng.choice(len(emb0), size=min(k, len(emb0)), replace=False)]
     dim = cents.shape[1]
+    width = k * (dim + 1)
+
+    @ray.remote
+    def _merge(*tabs):
+        acc = np.zeros(width, np.float64)
+        for tb in tabs:
+            acc += tb.column("m").to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array(acc, pa.float64())})
 
     for _ in range(iters):
         cref = ray.put(cents)
@@ -466,31 +475,23 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
             sums = np.stack(
                 [np.bincount(assign, weights=mat[:, j], minlength=len(c))
                  for j in range(mat.shape[1])], axis=1)
-            live = np.flatnonzero(n)
-            # long format: (cluster, dim, s) + one (cluster, -1, n) row
-            # per live cluster — k x (dim+1) rows per batch, so the
-            # shuffle input is O(batches x k x dim), never O(rows)
-            cl = np.repeat(live, dim)
-            dm = np.tile(np.arange(dim, dtype=np.int64), len(live))
-            return pa.table({
-                "cluster": pa.array(np.concatenate([cl, live]), pa.int64()),
-                "d": pa.array(np.concatenate(
-                    [dm, np.full(len(live), -1, np.int64)]), pa.int64()),
-                "s": pa.array(np.concatenate(
-                    [sums[live].ravel(), n[live].astype(np.float64)]),
-                    pa.float64()),
-            })
+            # fixed-shape flat partial: k x dim sums then k counts —
+            # every block yields the identical vector, so the merge is
+            # pure elementwise addition
+            flat = np.concatenate([sums.ravel(), n.astype(np.float64)])
+            return pa.table({"m": pa.array(flat, pa.float64())})
 
-        agg = (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
-               .groupby(["cluster", "d"]).aggregate(Sum("s", alias_name="t"))
-               .to_pandas())
-        counts = agg[agg["d"] == -1].set_index("cluster")["t"]
-        sums_df = agg[agg["d"] >= 0].pivot(index="cluster", columns="d",
-                                           values="t")
+        refs = list(_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+        while len(refs) > 1:
+            refs = [_merge.remote(*refs[i:i + 8])
+                    for i in range(0, len(refs), 8)]
+        stats = ray.get(refs[0]).column("m").to_numpy(zero_copy_only=False)
+        sums = stats[:k * dim].reshape(k, dim)
+        n = stats[k * dim:]
+        nz = n > 0
         new = cents.copy()
-        for ci in sums_df.index:
-            if counts.get(ci, 0) > 0:
-                new[int(ci)] = sums_df.loc[ci].to_numpy() / counts[ci]
+        new[nz] = sums[nz] / n[nz, None]
         cents = new
 
     cref = ray.put(cents)
