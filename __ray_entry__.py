@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window (local gate + pytest cover them): training-set
         # assembly ops.
         "tfidf_terms": textops.q_tfidf_terms,
+        "stratified_sample": textops.q_stratified_sample,
+        "jsonl_roundtrip": textops.q_jsonl_roundtrip,
         "bigram_logprob": textops.q_bigram_logprob,
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
     from vyperdatum_ray.pipelines.textops import (CONTAMINATION_ORACLE,
                                                   SAMPLE_DOCUMENTS_ORACLE,
                                                   BIGRAM_LOGPROB_ORACLE,
+                                                  JSONL_ROUNDTRIP_ORACLE,
+                                                  STRATIFIED_SAMPLE_ORACLE,
                                                   TFIDF_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
@@ -268,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": oracle.q_line_dedup(fx),
         "contamination_check": CONTAMINATION_ORACLE,
         "tfidf_terms": TFIDF_ORACLE,
+        "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
         "bigram_logprob": BIGRAM_LOGPROB_ORACLE,
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,

@@ -1711,3 +1711,101 @@ agg AS (
 SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   COALESCE(a.mean_surprisal, 0.0) AS mean_surprisal
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+# per-language stratified keep rates (permille); unlisted languages use
+# the default — the budget-shaping step of multilingual corpus assembly
+STRATA_RATES = {"en": 800, "es": 400, "de": 400}
+STRATA_DEFAULT = 100
+STRATA_MULT = np.uint64(2654435769)  # distinct from sample/split/draw
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Stratified corpus sampling: keep a document iff
+    ``hash(doc_id) % 1000 < rate(lang)`` with per-language rates —
+    deterministic, partition-independent, coordination-free (each task
+    decides its rows from (doc_id, lang) alone). Uses the table's own
+    ``lang`` column (the upstream-labeled stratum), not the LangId
+    prediction, mirroring how corpus budgets are applied to pre-tagged
+    crawls."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        draw = ((ids.astype(np.uint64) & np.uint64(0xFFFFFFFF)) * STRATA_MULT
+                % np.uint64(1 << 32) % np.uint64(1000)).astype(np.int64)
+        rate = np.full(len(ids), STRATA_DEFAULT, np.int64)
+        for lg, r in STRATA_RATES.items():
+            rate[lang == lg] = r
+        keep = draw < rate
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "rate_permille": pa.array(rate[keep], pa.int64()),
+            "draw": pa.array(draw[keep], pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(f, batch_format="pyarrow")
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 400 WHEN 'de' THEN 400
+         ELSE 100 END AS rate_permille,
+    CAST((CAST(doc_id & 4294967295 AS HUGEINT) * 2654435769)
+         % 4294967296 % 1000 AS BIGINT) AS draw
+  FROM documents)
+SELECT doc_id, lang, CAST(rate_permille AS BIGINT) AS rate_permille, draw
+FROM q WHERE draw < rate_permille"""
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Third source/sink format (after parquet and CSV): write the slim
+    document columns as JSONL with the distributed ``write_json`` sink,
+    read them back with ``ray.data.read_json``, and aggregate per
+    language — count, char volume, and a doc_id checksum — proving the
+    JSON path round-trips every row and integer exactly. All integer
+    aggregates, so the comparison is bit-exact."""
+    import shutil
+
+    from ray.data.aggregate import Sum
+    from vyperdatum_ray.fixtures import sf_name_of
+
+    out_dir = f"/tmp/vdr_jsonl/{sf_name_of(sf_dir)}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(out_dir)
+    ds = ray.data.read_json(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+            "n_chars": batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby("lang", as_index=False).agg(
+            p_n=("doc_id", "size"), p_chars=("n_chars", "sum"),
+            p_ids=("doc_id", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("p_n", alias_name="n_docs"), Sum("p_chars", alias_name="sum_chars"),
+        Sum("p_ids", alias_name="id_checksum"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+            "sum_chars": pc.cast(batch.column("sum_chars"), pa.int64()),
+            "id_checksum": pc.cast(batch.column("id_checksum"), pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+JSONL_ROUNDTRIP_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY lang"""
