@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding_lsh": ann.q_neardup_embedding_lsh,
         "kmeans_embeddings": ann.q_kmeans_embeddings,
+        "image_neardup": multimodal.q_image_neardup,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "frame_sample": multimodal.q_frame_sample,
     }

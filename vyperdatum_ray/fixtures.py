@@ -543,3 +543,54 @@ def stateplane_dir(sf_dir: str) -> str:
 
 def catalog_dir(sf_dir: str) -> str:
     return ensure_fixtures(sf_dir)["catalog_dir"]
+
+
+IMAGE_FIXTURE_VERSION = 1
+
+
+def ensure_image_fixtures(sf_dir: str) -> str:
+    """Deterministic synthetic image table for the multimodal near-dup
+    path: ``images.parquet`` (img_id int64, payload binary P6 PPM).
+    Images come in groups — one base pattern plus noisy near-duplicate
+    copies (a few per-pixel perturbations + a small brightness shift,
+    the register a perceptual hash must be invariant to) — plus
+    singletons. Independent of the page fixtures (own version marker)
+    so adding it never invalidates goldens."""
+    root = os.path.join(fixture_dir(sf_dir), "images", f"v{IMAGE_FIXTURE_VERSION}")
+    path = os.path.join(root, "images.parquet")
+    if os.path.exists(path):
+        return path
+    ensure_fixtures(sf_dir)  # parent dir + deterministic scale
+    n_groups = max(24, n_pages_for(sf_name_of(sf_dir)) // 2500)
+    rng = np.random.default_rng(20240817)
+    W, H = 32, 24
+    ids, payloads = [], []
+    img_id = 0
+    for g in range(n_groups):
+        # base pattern: random blocky mosaic (high gradient entropy, so
+        # distinct groups land far apart in dHash space; smooth
+        # gradients measured as low as hamming 0 across groups)
+        blocks = rng.uniform(0, 255, (H // 4, W // 4, 3))
+        base = np.kron(blocks, np.ones((4, 4, 1)))
+        n_copies = 1 if g % 5 == 4 else int(rng.integers(2, 5))
+        for _c in range(n_copies):
+            img = base.copy()
+            if _c > 0:  # noisy near-duplicate
+                img += rng.uniform(-3, 3)  # brightness shift
+                n_px = int(0.03 * W * H)
+                py = rng.integers(0, H, n_px)
+                px = rng.integers(0, W, n_px)
+                img[py, px] += rng.uniform(-20, 20, (n_px, 1))
+            u8 = np.clip(img, 0, 255).astype(np.uint8)
+            payloads.append(b"P6\n%d %d\n255\n" % (W, H) + u8.tobytes())
+            ids.append(img_id)
+            img_id += 1
+    # columns: img_id, payload only (ground truth stays derivable from
+    # the generator, not leaked into the table)
+    t = pa.table({"img_id": pa.array(ids, pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+    tmp = path + f".tmp.{os.getpid()}"
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path

