@@ -94,3 +94,28 @@ def test_cell_ids_deterministic_and_tile_consistent(lon, lat):
     t = tile_id(np.array([lon]), np.array([lat]))[0]
     # tile id encodes floor-binned lat/lon consistently
     assert t == int(np.floor((lat + 90.0) / 0.25)) * 4096 + int(np.floor((lon + 180.0) / 0.25))
+
+
+@settings(deadline=None, max_examples=50)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    shift=st.integers(-25, 25),
+)
+def test_dhash_brightness_invariance_and_hamming_axioms(seed, shift):
+    """dHash compares neighboring cells, so any uniform brightness
+    shift that doesn't clip leaves the hash EXACTLY unchanged; and the
+    vectorized popcount distance satisfies the metric axioms it's used
+    under (identity, symmetry)."""
+    from vyperdatum_ray.pipelines.multimodal import dhash64, hamming64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(30, 221, size=(24, 32, 3)).astype(np.uint8)
+    h0 = dhash64(img)
+    shifted = (img.astype(np.int64) + shift).astype(np.uint8)  # no clip in [5,245]
+    assert dhash64(shifted) == h0
+    other = dhash64(rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8))
+    a = np.array([h0, h0, other], dtype=np.uint64)
+    b = np.array([h0, other, h0], dtype=np.uint64)
+    d = hamming64(a, b)
+    assert d[0] == 0
+    assert d[1] == d[2] <= 64
