@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "corpus_pipeline",
     "tfidf_terms",
     "kmeans_embeddings",
+    "bigram_logprob",
+    "stratified_sample",
+    "jsonl_roundtrip",
+    "image_neardup",
 ]
 
 
