@@ -457,7 +457,9 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
     def _merge(*tabs):
         acc = np.zeros(width, np.float64)
         for tb in tabs:
-            acc += tb.column("m").to_numpy(zero_copy_only=False)
+            arr = tb.column("m").to_numpy(zero_copy_only=False)
+            # a block may hold several concatenated fixed-width partials
+            acc += arr.reshape(-1, width).sum(0)
         return pa.table({"m": pa.array(acc, pa.float64())})
 
     for _ in range(iters):

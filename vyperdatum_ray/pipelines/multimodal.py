@@ -230,9 +230,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCNT[x].sum(1)
 
 
-N_HASH_BANDS = 8  # 8 bands x 8 bits: any pair with hamming < 8 shares
-#                   >= 1 identical band (pigeonhole) -> EXACT recall at
-#                   the threshold below, no probabilistic miss
+# 28 band-PAIR buckets (each pair of the hash's 8 bytes, 16-bit key):
+# a pair with hamming <= 6 has flips in at most 6 of the 8 bands, so at
+# least TWO bands are identical on both sides — the pair co-occurs in
+# that two-band combo's bucket exactly. Recall at the default threshold
+# is therefore exact by pigeonhole (single-byte bands gave the same
+# guarantee only below hamming 8 but needed a recall-breaking skip
+# guard on their much coarser 256-value buckets).
+_BAND_COMBOS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
 
 
 def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
@@ -240,13 +245,15 @@ def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
     P6 PPM payloads decode with the from-scratch numpy decoder, hash to
     64-bit dHashes in an actor-pool stage (per-item binary decode is
     the canonical actor-pool work shape), and pair up through a banded
-    exact-match exchange: each hash emits its 8 one-byte bands, a
-    bounded groupby over (band, value) forms candidate buckets carrying
-    the full hashes, and pairs verify ``hamming <= max_hamming``
-    in-bucket (vectorized popcount) — no broadcast of any id->hash map.
-    With 8 bands, recall at hamming < 8 is exact by pigeonhole, not
-    probabilistic. Rows-only (perceptual hashing isn't SQL);
-    tests assert banded output == brute-force thresholded pairs."""
+    exact-match exchange: each hash emits its 28 two-byte band combos,
+    a bounded groupby over (combo, value) forms candidate buckets
+    carrying the full hashes, and pairs verify ``hamming <=
+    max_hamming`` in-bucket (vectorized popcount) — no broadcast of any
+    id->hash map. Recall at hamming <= 6 is exact by pigeonhole (see
+    ``_BAND_COMBOS``). Undecodable payloads are EXCLUDED (hashing them
+    to a sentinel would pair every corrupt row with every other).
+    Rows-only (perceptual hashing isn't SQL); tests assert banded
+    output == brute-force thresholded pairs."""
     import pandas as pd
 
     from vyperdatum_ray.fixtures import ensure_image_fixtures
@@ -260,19 +267,27 @@ def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
                 pa_set(1)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("img_id").to_numpy(zero_copy_only=False)
-            hashes = []
-            for buf in t.column("payload").to_pylist():
+            all_ids = t.column("img_id").to_numpy(zero_copy_only=False)
+            ids, hashes = [], []
+            for i, buf in enumerate(t.column("payload").to_pylist()):
                 img = decode_ppm(buf)
-                hashes.append(dhash64(img) if img is not None else np.uint64(0))
+                if img is not None:
+                    ids.append(all_ids[i])
+                    hashes.append(dhash64(img))
             h = np.array(hashes, dtype=np.uint64)
-            band_vals = h.view(np.uint8).reshape(len(h), 8)
+            ids = np.array(ids, dtype=np.int64)
+            bands = h.view(np.uint8).reshape(len(h), 8).astype(np.int64)
             n = len(ids)
+            combo_ids, vals = [], []
+            for c, (bi, bj) in enumerate(_BAND_COMBOS):
+                combo_ids.append(np.full(n, c, np.int64))
+                vals.append(bands[:, bi] * 256 + bands[:, bj])
+            k = len(_BAND_COMBOS)
             return pa.table({
-                "band": pa.array(np.tile(np.arange(8, dtype=np.int64), n)),
-                "val": pa.array(band_vals.ravel().astype(np.int64)),
-                "img_id": pa.array(np.repeat(ids.astype(np.int64), 8)),
-                "phash": pa.array(np.repeat(h, 8).view(np.int64)),
+                "band": pa.array(np.concatenate(combo_ids)),
+                "val": pa.array(np.concatenate(vals)),
+                "img_id": pa.array(np.tile(ids, k)),
+                "phash": pa.array(np.tile(h, k).view(np.int64)),
             })
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -280,7 +295,27 @@ def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
         for (_b, _v), g in df.groupby(["band", "val"]):
             ids = g["img_id"].to_numpy()
             hs = g["phash"].to_numpy().view(np.uint64)
-            if len(ids) < 2 or len(ids) > 4096:  # mega-bucket guard
+            if len(ids) < 2:
+                continue
+            if len(ids) > 4096:
+                # degenerate bucket (e.g. thousands of identical 16-bit
+                # combos — near-uniform images). All-pairs here would be
+                # O(B^2); dedup the EXACT-equal hashes instead (emit
+                # each distinct hash's id chain) so exact duplicates
+                # survive even in degenerate buckets, and log the skip
+                # of the cross-hash comparisons.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "image_neardup: bucket of %d images — comparing "
+                    "only exact-equal hashes within it", len(ids))
+                order = np.argsort(hs, kind="stable")
+                hs_s, ids_s = hs[order], ids[order]
+                same = hs_s[1:] == hs_s[:-1]
+                a, b = ids_s[:-1][same], ids_s[1:][same]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo); out_b.append(hi)
+                out_h.append(np.zeros(len(lo), np.int64))
                 continue
             ai, bj = np.triu_indices(len(ids), k=1)
             hd = hamming64(hs[ai], hs[bj])

@@ -1648,10 +1648,11 @@ def q_bigram_logprob(sf_dir: str, vocab_cap: int = BIGRAM_VOCAB_CAP) -> ray.data
 
     def freq_partial(t: pa.Table) -> pa.Table:
         grams, _doc_of, _ = _ngram_strings(t.column("text"), n=2)
-        g = pd.DataFrame({"g": grams.to_numpy(zero_copy_only=False)}) \
-            .groupby("g", as_index=False).size()
-        return pa.table({"g": pa.array(g["g"].to_numpy(), pa.string()),
-                         "p_n": pa.array(g["size"].to_numpy().astype(np.int64))})
+        vc = grams.value_counts()  # stays in Arrow, like the unigram pass
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"g": vc.field("values"),
+                         "p_n": pc.cast(vc.field("counts"), pa.int64())})
 
     freq = (docs.map_batches(freq_partial, batch_format="pyarrow")
             .groupby("g").aggregate(Sum("p_n", alias_name="n"))
@@ -1773,7 +1774,13 @@ def q_jsonl_roundtrip(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
     from vyperdatum_ray.fixtures import sf_name_of
 
-    out_dir = f"/tmp/vdr_jsonl/{sf_name_of(sf_dir)}"
+    import os
+    import uuid
+
+    # unique dir per invocation: a fixed path raced concurrent runs on
+    # the same sf (one process rmtree'ing while another's lazy
+    # read_json was still consuming)
+    out_dir = f"/tmp/vdr_jsonl/{sf_name_of(sf_dir)}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     shutil.rmtree(out_dir, ignore_errors=True)
     _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_json(out_dir)
     ds = ray.data.read_json(out_dir)
