@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": textops.q_tfidf_terms,
         "stratified_sample": textops.q_stratified_sample,
         "jsonl_roundtrip": textops.q_jsonl_roundtrip,
+        "lang_source_pivot": textops.q_lang_source_pivot,
         "bigram_logprob": textops.q_bigram_logprob,
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
                                                   SAMPLE_DOCUMENTS_ORACLE,
                                                   BIGRAM_LOGPROB_ORACLE,
                                                   JSONL_ROUNDTRIP_ORACLE,
+                                                  LANG_SOURCE_PIVOT_ORACLE,
                                                   STRATIFIED_SAMPLE_ORACLE,
                                                   TFIDF_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": TFIDF_ORACLE,
         "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
+        "lang_source_pivot": LANG_SOURCE_PIVOT_ORACLE,
         "bigram_logprob": BIGRAM_LOGPROB_ORACLE,
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,

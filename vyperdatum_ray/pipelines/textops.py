@@ -1816,3 +1816,51 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
   CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM documents GROUP BY lang"""
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]  # fixture label set, sorted
+
+
+def q_lang_source_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot (long -> wide): per-source document counts with one column
+    per language label — the reshape every corpus dashboard wants. The
+    language set is a FIXED schema (pivoting on unbounded values can't
+    stream); each batch emits a per-source crosstab partial and a
+    bounded groupby-sum merges them, so the shuffle carries only
+    (source x lang) count rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+        })
+        ct = pd.crosstab(df["source"], df["lang"])
+        out = {"source": ct.index.to_numpy()}
+        for lg in _PIVOT_LANGS:
+            col = ct[lg].to_numpy() if lg in ct.columns else np.zeros(len(ct), np.int64)
+            out[f"n_{lg}"] = col.astype(np.int64)
+        return pa.Table.from_pydict(out)
+
+    aggs = [Sum(f"n_{lg}", alias_name=f"s_{lg}") for lg in _PIVOT_LANGS]
+    out = (_docs(sf_dir, ["source", "lang"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(*aggs))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {"source": t.column("source")}
+        for lg in _PIVOT_LANGS:
+            cols[f"n_{lg}"] = pc.cast(t.column(f"s_{lg}"), pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+LANG_SOURCE_PIVOT_ORACLE = """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
+FROM documents GROUP BY source"""
