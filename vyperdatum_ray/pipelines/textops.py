@@ -1864,3 +1864,75 @@ SELECT source,
   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
   CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh
 FROM documents GROUP BY source"""
+
+
+def q_source_corr(sf_dir: str) -> ray.data.Dataset:
+    """Per-source Pearson correlation between document char and token
+    counts — the distributed-statistics shape: per-batch INTEGER power
+    sums (n, Σx, Σy, Σxy, Σx², Σy² — exact, order-independent), a
+    bounded groupby-sum, and one driver-free finalize evaluating the
+    correlation from the merged sums. Float parity: the final formula
+    is spelled identically in the SQL mirror (same parenthesization,
+    numerator / sqrt(vx * vy)) and both sides quantize with the
+    np.round/sql_rn(6) pair, so the only float math happens ONCE on
+    identical integer inputs."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.utf8_length(pc.coalesce(t.column("text"), "")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.count_substring_regex(
+            pc.coalesce(t.column("text"), ""), r"\S+"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y,
+        })
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (_docs(sf_dir, ["source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(
+               *[Sum(c, alias_name=f"t_{c}") for c in
+                 ("n", "sx", "sy", "sxy", "sxx", "syy")]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("t_n").to_numpy().astype(np.float64)
+        sx = t.column("t_sx").to_numpy().astype(np.float64)
+        sy = t.column("t_sy").to_numpy().astype(np.float64)
+        sxy = t.column("t_sxy").to_numpy().astype(np.float64)
+        sxx = t.column("t_sxx").to_numpy().astype(np.float64)
+        syy = t.column("t_syy").to_numpy().astype(np.float64)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = num / np.sqrt(vx * vy)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pc.cast(t.column("t_n"), pa.int64()),
+            "corr_chars_tokens": pa.array(np.round(corr, 6), pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SOURCE_CORR_ORACLE = (
+    r"""
+WITH s AS (
+  SELECT source,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(length(COALESCE(text, ''))) AS DOUBLE) AS sx,
+    CAST(sum(length(regexp_extract_all(COALESCE(text, ''), '\S+'))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(length(COALESCE(text, '')) AS BIGINT)
+             * length(regexp_extract_all(COALESCE(text, ''), '\S+'))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(length(COALESCE(text, '')) AS BIGINT)
+             * length(COALESCE(text, ''))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT)
+             * length(regexp_extract_all(COALESCE(text, ''), '\S+'))) AS DOUBLE) AS syy
+  FROM documents GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  """ + sql_rn(
+        "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)
+    + " AS corr_chars_tokens\nFROM s")
