@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": textops.q_jsonl_roundtrip,
         "lang_source_pivot": textops.q_lang_source_pivot,
         "source_corr": textops.q_source_corr,
+        "lang_source_unpivot": textops.q_lang_source_unpivot,
         "bigram_logprob": textops.q_bigram_logprob,
         "train_split": training.q_train_split,
         "seq_pack": training.q_seq_pack,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
                                                   BIGRAM_LOGPROB_ORACLE,
                                                   JSONL_ROUNDTRIP_ORACLE,
                                                   LANG_SOURCE_PIVOT_ORACLE,
+                                                  LANG_SOURCE_UNPIVOT_ORACLE,
                                                   SOURCE_CORR_ORACLE,
                                                   STRATIFIED_SAMPLE_ORACLE,
                                                   TFIDF_ORACLE,
@@ -281,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
         "lang_source_pivot": LANG_SOURCE_PIVOT_ORACLE,
         "source_corr": SOURCE_CORR_ORACLE,
+        "lang_source_unpivot": LANG_SOURCE_UNPIVOT_ORACLE,
         "bigram_logprob": BIGRAM_LOGPROB_ORACLE,
         "train_split": TRAIN_SPLIT_ORACLE,
         "seq_pack": SEQ_PACK_ORACLE,

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "jsonl_roundtrip",
     "image_neardup",
+    "lang_source_pivot",
+    "source_corr",
 ]
 
 

@@ -1936,3 +1936,46 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
   """ + sql_rn(
         "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)
     + " AS corr_chars_tokens\nFROM s")
+
+
+def q_lang_source_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Unpivot (wide -> long), the reshape inverse of
+    ``q_lang_source_pivot``: the pivoted per-source table melts back to
+    (source, lang, n) rows — fully streaming, each wide batch melts
+    independently with zero shuffle beyond the pivot's own. Rows with
+    n = 0 are kept (the wide form encodes them; dropping them would
+    lose the distinction between 'absent stratum' and 'unseen pair')."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        src = t.column("source")
+        n = t.num_rows
+        langs, counts, sources = [], [], []
+        for lg in _PIVOT_LANGS:
+            sources.append(src)
+            langs.append(pa.array([lg] * n, pa.string()))
+            counts.append(t.column(f"n_{lg}"))
+        return pa.table({
+            "source": pa.concat_arrays([pa.array(s.to_pylist(), pa.string())
+                                        for s in sources]),
+            "lang": pa.concat_arrays(langs),
+            "n": pa.concat_arrays([pa.array(c.to_pylist(), pa.int64())
+                                   for c in counts]),
+        })
+
+    return q_lang_source_pivot(sf_dir).map_batches(melt, batch_format="pyarrow")
+
+
+LANG_SOURCE_UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT source,
+    sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_de,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS n_es,
+    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS n_fr,
+    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_zh
+  FROM documents GROUP BY source)
+SELECT source, 'de' AS lang, CAST(n_de AS BIGINT) AS n FROM w
+UNION ALL SELECT source, 'en', CAST(n_en AS BIGINT) FROM w
+UNION ALL SELECT source, 'es', CAST(n_es AS BIGINT) FROM w
+UNION ALL SELECT source, 'fr', CAST(n_fr AS BIGINT) FROM w
+UNION ALL SELECT source, 'zh', CAST(n_zh AS BIGINT) FROM w"""
