@@ -112,7 +112,7 @@ def _with_pip_region(sf_dir: str) -> ray.data.Dataset:
         RegionJoiner,
         fn_constructor_kwargs={"catalog_ref": catalog_ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=4,  # fixed: the (1, N) autoscale ramp serialized short jobs
         num_cpus=1,
     )
 

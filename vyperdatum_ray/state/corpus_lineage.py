@@ -221,7 +221,8 @@ def run_corpus_checkpointed(
          .map_batches(read_shard, batch_format="pyarrow", batch_size=1)
          .map_batches(CurateKeepShard,
                       fn_constructor_kwargs=dict(probe_ref=probe_ref),
-                      batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+                      batch_format="pyarrow",
+                      concurrency=min(8, len(pending_a)), num_cpus=1)
          .map_batches(to_candidates, batch_format="pyarrow")
          .write_parquet(cand_dir, partition_cols=["shard", "bucket"]))
 
