@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datum_transform_itrf": q.q_datum_transform_itrf,
         "transform_projected": q.q_transform_projected,
         "transform_stateplane": q.q_transform_stateplane,
+        "transform_stateplane_tm": q.q_transform_stateplane_tm,
         "external_region_transform": q.q_external_region_transform,
         "hot_tiles": q.q_hot_tiles,
         "transform_summary": q.q_transform_summary,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "datum_transform_itrf": oracle.q_datum_transform_itrf(fx),
         "transform_projected": oracle.q_transform_projected(fx),
         "transform_stateplane": oracle.q_transform_stateplane(fx),
+        "transform_stateplane_tm": oracle.q_transform_stateplane_tm(fx),
         "external_region_transform": oracle.q_external_region_transform(fx),
         "hot_tiles": oracle.q_hot_tiles(fx),
         "uncertainty_table": oracle.q_uncertainty_table(fx),

@@ -119,12 +119,7 @@ def run_once(num_cpus: int, queries: list[str]) -> dict:
     qs = E.queries()
     n_pages = _pages_rows(SF_DIR)
 
-    timings: dict[str, float] = {}
-    counts: dict[str, int] = {}
-    for name in queries:
-        t0 = time.perf_counter()
-        counts[name] = _consume(qs[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def _settle():
         # The finished Dataset's streaming executor sits in a reference
         # cycle until the cyclic GC happens to run; until then its actor
         # pool holds CPUs and the NEXT query's pool starves behind it
@@ -144,12 +139,33 @@ def run_once(num_cpus: int, queries: list[str]) -> dict:
                 break
             time.sleep(0.05)
 
+    # median-of-N per query: this shared box drifts 1.5-2x on a ~20 min
+    # cycle (BASELINE.md), so single-shot per-query seconds are not
+    # attributable round over round; the per-run list is kept so warm
+    # (run 2/3) vs cold (run 1) is visible in the record.
+    repeat = max(1, int(os.environ.get("GRAFT_BENCH_REPEAT", "3")))
+    timings: dict[str, float] = {}
+    runs: dict[str, dict] = {}
+    counts: dict[str, int] = {}
+    for name in queries:
+        per_run: list[float] = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            counts[name] = _consume(qs[name](SF_DIR))
+            per_run.append(round(time.perf_counter() - t0, 3))
+            _settle()
+        med = sorted(per_run)[len(per_run) // 2]
+        timings[name] = med
+        runs[name] = {"median": med, "runs": per_run}
+
     flagship_s = timings.get("flagship", sum(timings.values()))
     out = {
         "metric": "flagship geocode+PIP-join+datum-transform e2e seconds",
         "value": flagship_s,
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs,
+        "bench_repeat": repeat,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
         "rows_per_s": round(n_pages / flagship_s, 1) if flagship_s else None,

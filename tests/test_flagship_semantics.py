@@ -121,3 +121,66 @@ def test_tif_fallback_active_in_transformer():
     dt_orig = DatumTransformer(catalog_ref=cat)
     # same grid object -> identical steps either way
     assert [g for g, _ in dt.region_steps[0]] == [g for g, _ in dt_orig.region_steps[0]]
+
+
+def test_seventy_region_catalog_pip_and_transform(ray_session):
+    """Catalogs past 64 regions spill membership into region_mask_1
+    (VERDICT r3 item 5): pad the fixture catalog to 70 regions by
+    cloning region 0 (same polygon, same grids under the padded names),
+    so the LAST pad (catalog index 69, mask word 1 bit 5) must win the
+    overwrite with z/unc identical to region 0's and the multi-word
+    bitmask must round-trip through RegionJoiner -> DatumTransformer."""
+    import dataclasses
+
+    import pyarrow as pa
+
+    from vyperdatum_ray.catalog import Catalog, RegionInfo
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.points import transform_points
+    from vyperdatum_ray.stages.region_join import RegionJoiner
+
+    base_cat = Catalog.from_dir(ensure_fixtures(SF)["catalog_dir"])
+    b = base_cat.regions[0]
+    regions = list(base_cat.regions)
+    grids = dict(base_cat.grids)
+    sigmas = dict(base_cat.sigmas)
+    base_keys = [k for k in base_cat.grids if k.startswith(f"{b.name}/")]
+    for i in range(len(regions), 70):
+        name = f"PAD{i}"
+        regions.append(RegionInfo(name=name, ord=i, geoid_name=b.geoid_name,
+                                  geoid_frame=b.geoid_frame, polygon=b.polygon))
+        for k in base_keys:
+            grids[f"{name}/{k.split('/', 1)[1]}"] = base_cat.grids[k]
+        sigmas[name] = sigmas[b.name]
+    cat70 = Catalog(regions=regions, grids=grids, sigmas=sigmas,
+                    geoid_sigmas=dict(base_cat.geoid_sigmas), version="pad70")
+
+    lon = np.array([-75.20, -76.8])  # inside region 0's polygon; outside all
+    lat = np.array([35.00, 33.2])
+
+    # multi-word mask: word 0 bit 0 (region 0) and word 1 bit 5 (69) set
+    joined = RegionJoiner(catalog_ref=cat70)(pa.table({
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    }))
+    assert "region_mask_1" in joined.column_names
+    w0 = joined.column("region_mask").to_numpy(zero_copy_only=False)
+    w1 = joined.column("region_mask_1").to_numpy(zero_copy_only=False)
+    assert w0[0] & np.uint64(1) == 1
+    assert (w1[0] >> np.uint64(5)) & np.uint64(1) == 1
+    assert w0[1] == 0 and w1[1] == 0
+
+    _, _, z0, u0, r0 = transform_points(base_cat, lon, lat)
+    _, _, z70, u70, r70 = transform_points(cat70, lon, lat)
+    assert r0[0] == 0 and r70[0] == 69  # the index-69 clone wins
+    assert z70[0] == z0[0] and u70[0] == u0[0]  # same grids -> same answer
+    assert r70[1] == -1 and np.isnan(z70[1])
+
+    # past-127 catalogs still refuse loudly (int8 region_index)
+    many = list(regions)
+    while len(many) <= 127:
+        many.append(dataclasses.replace(b, name=f"X{len(many)}", ord=len(many)))
+    with pytest.raises(NotImplementedError):
+        RegionJoiner(catalog_ref=Catalog(
+            regions=many, grids=grids, sigmas=sigmas,
+            geoid_sigmas=dict(base_cat.geoid_sigmas), version="pad128"))

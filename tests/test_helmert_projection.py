@@ -271,6 +271,108 @@ def test_parse_crs_stateplane_and_points_api():
     np.testing.assert_array_equal(gx, lon)
 
 
+def test_tm_stateplane_kernel_identity_with_utm():
+    """The TM state-plane kernel with UTM's defining parameters
+    (k0=0.9996, lat0=0, CM=zone 18's, FE=500000, FN=0) must reproduce
+    utm_forward/inverse bit-for-bit — same Krüger series, so parameter
+    identity is kernel identity. (No reference golden exercises a TM
+    state plane — its goldens are LCC + AK zone 1's oblique Mercator,
+    vdatum_validation.py:1399-1447 — so this identity plus roundtrip is
+    the TM validation.)"""
+    from vyperdatum_ray.core.projection import (STATE_PLANE_TM, TMZone,
+                                                utm_forward, utm_inverse,
+                                                zone_central_meridian)
+
+    epsg_fake = -18
+    STATE_PLANE_TM[epsg_fake] = TMZone(
+        "utm18", 0.9996, zone_central_meridian(18), 0.0, 500000.0, 0.0)
+    try:
+        from vyperdatum_ray.core.projection import tm_forward, tm_inverse
+
+        lon = np.linspace(-77.0, -72.0, 57)
+        lat = np.linspace(33.0, 38.0, 57)
+        e_u, n_u = utm_forward(lon, lat, 18)
+        e_t, n_t = tm_forward(lon, lat, epsg_fake)
+        np.testing.assert_array_equal(e_t, e_u)
+        np.testing.assert_array_equal(n_t, n_u)
+        rlon_u, rlat_u = utm_inverse(e_u, n_u, 18)
+        rlon_t, rlat_t = tm_inverse(e_t, n_t, epsg_fake)
+        np.testing.assert_array_equal(rlon_t, rlon_u)
+        np.testing.assert_array_equal(rlat_t, rlat_u)
+    finally:
+        del STATE_PLANE_TM[epsg_fake]
+
+
+def test_tm_stateplane_roundtrip_all_zones():
+    """Every registered SPCS83 TM zone roundtrips 5-decimal in-zone
+    coordinates exactly (quantization-dominated, like UTM)."""
+    from vyperdatum_ray.core.projection import (STATE_PLANE_TM, tm_forward,
+                                                tm_inverse)
+
+    rng = np.random.default_rng(7)
+    for epsg, z in STATE_PLANE_TM.items():
+        cm = z.lam0 * 180.0 / np.pi
+        lon = np.round(rng.uniform(cm - 2.0, cm + 2.0, 40), 5)
+        lat = np.round(rng.uniform(33.0 if z.name == "DE" else 51.0,
+                                   38.0 if z.name == "DE" else 71.0, 40), 5)
+        e, n_ = tm_forward(lon, lat, epsg)
+        rlon, rlat = tm_inverse(e, n_, epsg)
+        np.testing.assert_array_equal(rlon, lon)
+        np.testing.assert_array_equal(rlat, lat)
+
+
+def test_tm_inverse_sql_parity_exact(ray_session):
+    """The SQL TM inverse mirror is bit-identical to the numpy kernel
+    on the Delaware fixture zone."""
+    import duckdb
+
+    from vyperdatum_ray.core.projection import (sql_tm_inverse_ctes,
+                                                tm_forward, tm_inverse)
+
+    rng = np.random.default_rng(11)
+    lon = np.round(rng.uniform(-77.0, -74.0, 200), 5)
+    lat = np.round(rng.uniform(33.0, 38.0, 200), 5)
+    e, n_ = tm_forward(lon, lat, 26957)
+    rlon, rlat = tm_inverse(e, n_, 26957)
+
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame(
+        {"k": np.arange(len(e)), "easting": e, "northing": n_}))
+    sql = f"""WITH src AS (SELECT * FROM pts),
+{sql_tm_inverse_ctes("x", "src", "easting", "northing", 26957, "k")}
+SELECT rlon, rlat FROM xtm ORDER BY k"""
+    out = con.execute(sql).df()
+    np.testing.assert_array_equal(out["rlon"].to_numpy(), rlon)
+    np.testing.assert_array_equal(out["rlat"].to_numpy(), rlat)
+
+
+def test_parse_crs_tm_and_points_api(ray_session):
+    """EPSG:26957 parses as a TM state plane and transform_points on
+    TM-projected inputs matches the geographic path exactly."""
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.core.crs import parse_crs
+    from vyperdatum_ray.core.projection import tm_forward
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.points import transform_points
+
+    de = parse_crs(26957)
+    assert de.kind == "tm" and de.zone == 26957
+    ak = parse_crs(("EPSG:26935", "mllw"))
+    assert ak.kind == "tm" and ak.vertical == "mllw"
+    with pytest.raises(ValueError):
+        parse_crs(26930)  # AK zone "0" does not exist
+
+    cat = Catalog.from_dir(ensure_fixtures("/root/testdata/sf0.001")["catalog_dir"])
+    lon = np.array([-75.20, -74.35, -73.30])
+    lat = np.array([35.00, 35.65, 34.30])
+    e, n_ = tm_forward(lon, lat, 26957)
+    gx, _, z_geo, _, r_geo = transform_points(cat, lon, lat)
+    tx, _, z_tm, _, r_tm = transform_points(cat, e, n_, input_crs="EPSG:26957")
+    np.testing.assert_array_equal(z_geo, z_tm)
+    np.testing.assert_array_equal(r_geo, r_tm)
+    np.testing.assert_array_equal(tx, lon)
+
+
 def test_helmert_hop_z_linearity():
     """Property: the frame hop is locally linear in input height — a
     +10 m input z moves output z by 10 m within ~1e-3 m (the scale+

@@ -37,7 +37,8 @@ def test_first_run_commits_all_shards(first_run):
     out, metrics = first_run
     assert metrics["n_shards_skipped"] == 0
     assert metrics["n_shards_run"] == metrics["n_shards_total"] > 0
-    recs = [f for f in os.listdir(os.path.join(out, "_lineage")) if f.endswith(".json")]
+    recs = [f for f in os.listdir(os.path.join(out, "_lineage"))
+            if f.endswith(".json") and not f.startswith("_")]
     assert len(recs) == metrics["n_shards_total"]
     rec = json.load(open(os.path.join(out, "_lineage", sorted(recs)[0])))
     assert rec["transform_version"] == metrics["transform_version"]
@@ -62,7 +63,8 @@ def test_resume_recomputes_only_missing_shard(first_run):
 
     # simulate a crash: one shard's lineage gone + partial partition
     victim = sorted(
-        f for f in os.listdir(os.path.join(out, "_lineage")) if f.endswith(".json")
+        f for f in os.listdir(os.path.join(out, "_lineage"))
+        if f.endswith(".json") and not f.startswith("_")
     )[0]
     shard = victim[: -len(".json")]
     os.remove(os.path.join(out, "_lineage", victim))
@@ -91,7 +93,8 @@ def test_resume_after_partial_write_is_exactly_once(first_run):
     baseline = _read_output(out)
 
     victim = sorted(
-        f for f in os.listdir(os.path.join(out, "_lineage")) if f.endswith(".json")
+        f for f in os.listdir(os.path.join(out, "_lineage"))
+        if f.endswith(".json") and not f.startswith("_")
     )[-1]
     shard = victim[: -len(".json")]
     os.remove(os.path.join(out, "_lineage", victim))
@@ -137,3 +140,57 @@ def test_metrics_appended(first_run):
     assert len(lines) >= 1
     rec = json.loads(lines[0])
     assert rec["rows_in"] >= rec["rows_out"] > 0
+
+
+def test_manifest_written_and_grid_change_invalidates_exactly(first_run):
+    """Versioned catalog manifest (T5 completion): per-grid MD5s are
+    committed with the run; a VALUE change in one region's grid marks
+    stale exactly the shards whose region_set touches that region,
+    while a STRUCTURE change (region renamed) invalidates everything."""
+    import copy
+
+    from vyperdatum_ray.catalog import Catalog
+    from vyperdatum_ray.fixtures import ensure_fixtures
+    from vyperdatum_ray.state.lineage import (completed_shards,
+                                              load_catalog_manifest,
+                                              run_flagship_checkpointed)
+
+    out, metrics = first_run
+    cat = Catalog.from_dir(ensure_fixtures(SF)["catalog_dir"])
+    man = load_catalog_manifest(out)
+    assert man is not None
+    assert man["catalog_version"] == cat.version == metrics["transform_version"]
+    assert man["grids"] == cat.grid_fingerprints()
+    assert man["structure"] == cat.structure_fingerprint()
+
+    # every committed record carries its region provenance
+    recs = completed_shards(out, cat.version)
+    assert recs and all("region_set" in r for r in recs.values())
+
+    # perturb ONE region's grid values -> a new catalog "version"
+    victim = "SYNcoastB_8301"
+    cat2 = copy.deepcopy(cat)
+    cat2.grids[f"{victim}/mllw"].values += 0.01
+    cat2.version = "vNext"
+
+    done2 = completed_shards(out, cat2.version, catalog=cat2)
+    expect_done = {s for s, r in recs.items() if victim not in r["region_set"]}
+    assert set(done2) == expect_done  # exactly the untouched shards
+
+    # resuming with the perturbed catalog re-runs exactly the affected
+    # shards and re-stamps the manifest at the new version
+    m2 = run_flagship_checkpointed(SF, out, catalog=cat2)
+    assert m2["n_shards_run"] == metrics["n_shards_total"] - len(expect_done)
+    assert m2["n_shards_skipped"] == len(expect_done)
+    assert load_catalog_manifest(out)["catalog_version"] == "vNext"
+    # and a further no-op resume skips everything again
+    m3 = run_flagship_checkpointed(SF, out, catalog=cat2)
+    assert m3["n_shards_run"] == 0
+
+    # STRUCTURE change: renaming a region invalidates ALL records
+    import dataclasses
+
+    cat3 = copy.deepcopy(cat2)
+    cat3.regions[0] = dataclasses.replace(cat3.regions[0], name="RENAMED")
+    cat3.version = "vNext2"
+    assert completed_shards(out, cat3.version, catalog=cat3) == {}

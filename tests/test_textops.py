@@ -3,6 +3,7 @@ MinHash-LSH recall against exact Jaccard, SimHash locality, exact-dedup
 counts, and IVF recall against brute force."""
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -181,6 +182,45 @@ def test_dedup_clusters_embedding_transitive(ray_session):
     singles = out[~out["vec_id"].isin(
         set(pairs["vec_id_a"]) | set(pairs["vec_id_b"]))]
     assert (singles["vec_id"] == singles["cluster_id"]).all()
+
+
+def test_dedup_clusters_distributed_path_matches_driver(ray_session):
+    """pair_cap=0 forces the distributed label-propagation path; it
+    must produce exactly the driver union-find's clustering."""
+    from vyperdatum_ray.pipelines.ann import q_dedup_clusters_embedding
+
+    drv = (q_dedup_clusters_embedding(SF, tau=0.4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    dist = (q_dedup_clusters_embedding(SF, tau=0.4, pair_cap=0)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist, check_dtype=True)
+
+
+def test_lp_components_dense_graph(ray_session):
+    """Distributed min-label propagation on a dense synthetic dup graph
+    (a 40-clique, an 8-chain — multi-round diameter — and a star)
+    converges to the exact per-component min label. Rounds scale with
+    component diameter (each round costs two exchanges), so the chain
+    is kept short; real near-dup graphs are near-cliques."""
+    import pyarrow as pa
+    import ray.data
+    from vyperdatum_ray.pipelines.ann import _lp_components
+
+    clique = [(a, b) for a in range(100, 140) for b in range(a + 1, 140)]
+    chain = [(i, i + 1) for i in range(200, 208)]
+    star = [(300, k) for k in range(301, 320)]
+    edges = clique + chain + star
+    pairs = ray.data.from_arrow(pa.table({
+        "vec_id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "vec_id_b": pa.array([b for _, b in edges], pa.int64()),
+    })).repartition(7)  # multiple blocks so the exchange is real
+    out = _lp_components(pairs).to_pandas().set_index("node")["label"]
+    for n in range(100, 140):
+        assert out[n] == 100
+    for n in range(200, 209):
+        assert out[n] == 200
+    for n in range(300, 320):
+        assert out[n] == 300
 
 
 def test_shingle_batch_matches_per_doc():

@@ -4,6 +4,7 @@ resample decisions, each cross-checked against a single-process numpy
 reference over the real testdata."""
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 SF = "/root/testdata/sf0.01"
@@ -44,6 +45,20 @@ def test_seq_pack_matches_global_ordered_cumsum(ray_session):
     # packing covers the corpus exactly once: final sequence id bounds
     total = ntok.sum()
     assert out["seq_id"].max() == (total - ntok[-1]) // SEQ_LEN
+
+
+def test_seq_pack_two_level_prefix_matches_one_level(ray_session):
+    """Forcing tiny shards (shard_bits=2 -> many shards) and a
+    max_driver_shards of 0 exercises the two-level super-shard prefix
+    + union repartition-join path; output must be bit-identical to the
+    default broadcast path."""
+    from vyperdatum_ray.pipelines.training import q_seq_pack
+
+    one = (q_seq_pack(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    two = (q_seq_pack(SF, shard_bits=2, max_driver_shards=0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, two, check_dtype=True)
 
 
 def test_quality_resample_decisions_match_reference(ray_session):

@@ -25,6 +25,7 @@ synthetic instance):
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -63,6 +64,36 @@ class Catalog:
         if self._tree is None:
             self._tree = STRtree([r.polygon for r in self.regions])
         return self._tree
+
+    def grid_fingerprints(self) -> dict[str, str]:
+        """Per-grid content fingerprint (md5 over geometry scalars +
+        node values) — the engine's analogue of the reference's
+        per-version grid-hash DB (vdatum_validation.py:1384-1394).
+        Drives the fine-grained lineage staleness rule: a changed grid
+        invalidates only the shards whose output touched its region."""
+        out = {}
+        for key, g in self.grids.items():
+            h = hashlib.md5()
+            h.update(np.array([g.origin_x, g.origin_y, g.dx, g.dy],
+                              dtype=np.float64).tobytes())
+            h.update(np.ascontiguousarray(g.values).tobytes())
+            out[key] = h.hexdigest()[:16]
+        return out
+
+    def structure_fingerprint(self) -> str:
+        """Fingerprint of everything that is NOT grid values: region
+        names/order/polygons/geoids and the sigma tables. A change here
+        can move points between regions, so it invalidates ALL lineage
+        (no per-shard attribution is possible)."""
+        from vyperdatum_ray.core.geometry import polygon_to_wkb
+
+        h = hashlib.md5()
+        for r in self.regions:
+            h.update(f"{r.ord}|{r.name}|{r.geoid_name}|{r.geoid_frame}|".encode())
+            h.update(polygon_to_wkb(r.polygon.vertices))
+        h.update(json.dumps(self.sigmas, sort_keys=True).encode())
+        h.update(json.dumps(self.geoid_sigmas, sort_keys=True).encode())
+        return h.hexdigest()[:16]
 
     def regions_for_bounds(self, x_min, y_min, x_max, y_max) -> list[str]:
         """Region candidate discovery for a data extent — semantics of the

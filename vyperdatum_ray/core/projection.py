@@ -213,6 +213,96 @@ def lcc_inverse(easting, northing, epsg: int):
             np.round(phi * RAD2DEG, LL_DECIMALS))
 
 
+# --------------------------------- transverse-Mercator state plane (SPCS) ---
+#
+# SPCS83 TM zones (VERDICT r3 item 4): the reference handles the full
+# EPSG universe via pyproj (``reference/vyperdatum/vypercrs.py:685-812``);
+# here each registered zone reuses the golden-validated Krüger TM kernel
+# above with the zone's EPSG-published natural origin / scale / false
+# origin. No reference golden exercises a TM state plane (its goldens
+# are LCC zones + AK zone 1's oblique Mercator,
+# ``vdatum_validation.py:1399-1447``), so validation is (a) parameter
+# identity with UTM reproduces utm_forward bit-for-bit and (b) forward
+# -> inverse roundtrips to 1e-7 deg (tests/test_helmert_projection.py).
+
+
+class TMZone:
+    """One SPCS83 TM zone: EPSG-published defining parameters in,
+    derived scalars (k0*A_BAR and the rectifying origin offset k0*m0)
+    precomputed once; the SQL mirror repr-embeds the derived doubles so
+    both sides share the exact same constants."""
+
+    def __init__(self, name: str, k0: float, lon0_deg: float, lat0_deg: float,
+                 false_easting: float, false_northing: float):
+        self.name = name
+        self.lam0 = lon0_deg * DEG2RAD
+        self.false_easting = false_easting
+        self.false_northing = false_northing
+        self.ka = k0 * A_BAR
+        # rectifying meridian arc at the latitude of natural origin
+        # (eta = 0: cosh terms are 1), same series as the forward kernel
+        phi0 = lat0_deg * DEG2RAD
+        s0 = np.sin(phi0)
+        t0 = _sinh(_atanh(s0) - E_ * _atanh(E_ * s0))
+        xi0 = np.arctan2(t0, 1.0)
+        xi0_s = xi0
+        for j, a_j in enumerate(ALPHA, start=1):
+            xi0_s = xi0_s + a_j * np.sin(2.0 * j * xi0)
+        self.k0m0 = k0 * A_BAR * xi0_s
+
+
+# SPCS83 metric TM zones: Delaware (covers the fixture area's meridian
+# band, CM 75deg25'W) and the Alaska TM family zones 2-9 (CM -142 to
+# -170 in 4-degree steps, latitude of origin 54N, k0 = 0.9999)
+STATE_PLANE_TM = {
+    26957: TMZone("DE", 0.999995, -_dms(75, 25), 38.0, 200000.0, 0.0),
+    **{26930 + z: TMZone(f"AK-{z}", 0.9999, -142.0 - 4.0 * (z - 2), 54.0,
+                         500000.0, 0.0)
+       for z in range(2, 10)},
+}
+
+
+def tm_forward(lon, lat, epsg: int):
+    """Geographic NAD83 -> SPCS83 TM (meters), quantized 0.1 mm. Same
+    Krüger series/expression tree as ``utm_forward`` with the zone's
+    natural origin: with UTM parameters (k0=0.9996, lat0=0, FE=500000,
+    FN=0) this IS utm_forward (asserted in tests)."""
+    z = STATE_PLANE_TM[epsg]
+    phi = lat * DEG2RAD
+    lamd = lon * DEG2RAD - z.lam0
+    s = np.sin(phi)
+    t = _sinh(_atanh(s) - E_ * _atanh(E_ * s))
+    xi = np.arctan2(t, np.cos(lamd))
+    eta = _atanh(np.sin(lamd) / np.sqrt(1.0 + t * t))
+    xi_s = xi
+    eta_s = eta
+    for j, a_j in enumerate(ALPHA, start=1):
+        xi_s = xi_s + a_j * np.sin(2.0 * j * xi) * _cosh(2.0 * j * eta)
+        eta_s = eta_s + a_j * np.cos(2.0 * j * xi) * _sinh(2.0 * j * eta)
+    easting = z.false_easting + z.ka * eta_s
+    northing = z.false_northing + z.ka * xi_s - z.k0m0
+    return np.round(easting, E_DECIMALS), np.round(northing, E_DECIMALS)
+
+
+def tm_inverse(easting, northing, epsg: int):
+    """SPCS83 TM (meters) -> geographic NAD83, quantized 1e-7 deg."""
+    z = STATE_PLANE_TM[epsg]
+    xi = (northing - z.false_northing + z.k0m0) / z.ka
+    eta = (easting - z.false_easting) / z.ka
+    xi_p = xi
+    eta_p = eta
+    for j, b_j in enumerate(BETA, start=1):
+        xi_p = xi_p - b_j * np.sin(2.0 * j * xi) * _cosh(2.0 * j * eta)
+        eta_p = eta_p - b_j * np.cos(2.0 * j * xi) * _sinh(2.0 * j * eta)
+    chi = _asin(np.sin(xi_p) / _cosh(eta_p))
+    phi = chi
+    for j, d_j in enumerate(DELTA, start=1):
+        phi = phi + d_j * np.sin(2.0 * j * chi)
+    lam = z.lam0 + np.arctan2(_sinh(eta_p), np.cos(xi_p))
+    return (np.round(lam * RAD2DEG, LL_DECIMALS),
+            np.round(phi * RAD2DEG, LL_DECIMALS))
+
+
 # ----------------------------------------------------------- SQL mirror ---
 
 
@@ -281,6 +371,59 @@ def sql_lcc_inverse_ctes(prefix: str, src: str, easting: str, northing: str,
     {sql_rn(f"(atan2(vl_de, vl_dn) / {n_} + {lam0}) * {r2d}", LL_DECIMALS)} AS rlon,
     {sql_rn(f"vl_phi5 * {r2d}", LL_DECIMALS)} AS rlat
   FROM {prefix}li5
+)"""
+
+
+def sql_tm_inverse_ctes(prefix: str, src: str, easting: str, northing: str,
+                        epsg: int, key_cols: str) -> str:
+    """CTE chain mirroring ``tm_inverse`` for a registered SPCS83 TM
+    zone: emits ``{prefix}tm(key_cols, rlon, rlat)`` — the recovered
+    geographic coordinates, quantized exactly as the numpy kernel.
+    Zone scalars (ka = k0*A_BAR, k0m0, lam0, false origin) are
+    repr-embedded; intermediates are vt_-prefixed against caller
+    column collisions. (The FORWARD projection never runs in SQL: the
+    fixture materializes the projected input once with tm_forward, so
+    both sides read identical doubles — fixtures._write_stateplane_tm.)"""
+    z = STATE_PLANE_TM[epsg]
+    r2d = "(180.0 / pi())"
+    ka = repr(float(z.ka))
+    k0m0 = repr(float(z.k0m0))
+    lam0 = repr(float(z.lam0))
+    fe = repr(float(z.false_easting))
+    fn = repr(float(z.false_northing))
+
+    inv_xi = "vt_ixi"
+    inv_eta = "vt_ieta"
+    for j, b_j in enumerate(BETA, start=1):
+        inv_xi = (f"({inv_xi} - {repr(float(b_j))} * sin({2.0 * j} * vt_ixi)"
+                  f" * {_s_cosh(f'{2.0 * j} * vt_ieta')})")
+        inv_eta = (f"({inv_eta} - {repr(float(b_j))} * cos({2.0 * j} * vt_ixi)"
+                   f" * {_s_sinh(f'{2.0 * j} * vt_ieta')})")
+    phi = "vt_chi"
+    for j, d_j in enumerate(DELTA, start=1):
+        phi = f"({phi} + {repr(float(d_j))} * sin({2.0 * j} * vt_chi))"
+
+    return f"""
+{prefix}t0 AS (
+  SELECT {key_cols},
+    (({northing}) - {fn} + {k0m0}) / {ka} AS vt_ixi,
+    (({easting}) - {fe}) / {ka} AS vt_ieta
+  FROM {src}
+),
+{prefix}t1 AS (
+  SELECT *, {inv_xi} AS vt_xip, {inv_eta} AS vt_etap FROM {prefix}t0
+),
+{prefix}t2 AS (
+  SELECT *, atan2(sin(vt_xip) / {_s_cosh('vt_etap')},
+                  sqrt(1.0 - (sin(vt_xip) / {_s_cosh('vt_etap')})
+                             * (sin(vt_xip) / {_s_cosh('vt_etap')}))) AS vt_chi
+  FROM {prefix}t1
+),
+{prefix}tm AS (
+  SELECT {key_cols},
+    {sql_rn(f"({lam0} + atan2({_s_sinh('vt_etap')}, cos(vt_xip))) * {r2d}", LL_DECIMALS)} AS rlon,
+    {sql_rn(f"({phi}) * {r2d}", LL_DECIMALS)} AS rlat
+  FROM {prefix}t2
 )"""
 
 

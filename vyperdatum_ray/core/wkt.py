@@ -146,6 +146,13 @@ def projected_wkt(kind: str, zone: int) -> str:
         name = f"NAD83 / SPCS83 {STATE_PLANE_LCC[zone].name}"
         conv = ('CONVERSION["SPCS83",'
                 'METHOD["Lambert Conic Conformal (2SP)"]]')
+    elif kind == "tm":
+        from vyperdatum_ray.core.projection import STATE_PLANE_TM
+
+        epsg = zone
+        name = f"NAD83 / SPCS83 {STATE_PLANE_TM[zone].name}"
+        conv = ('CONVERSION["SPCS83",'
+                'METHOD["Transverse Mercator"]]')
     else:
         raise ValueError(f"no projected WKT for kind {kind!r}")
     return (

@@ -30,8 +30,9 @@ import pyarrow.parquet as pq
 from vyperdatum_ray.core.geometry import polygon_to_wkb
 
 DATA_ROOT = "/tmp/vdr_data"
-FIXTURE_VERSION = 8  # bump to invalidate caches (v8: multi-line page text
-#                      with boilerplate + PII contact lines)
+FIXTURE_VERSION = 9  # bump to invalidate caches (v9: adds the
+#                      stateplane_tm projected-input dataset; v8:
+#                      multi-line page text with boilerplate + PII)
 
 AREA = (-77.0, 33.0, -72.0, 38.0)  # lon_min, lat_min, lon_max, lat_max
 
@@ -505,6 +506,7 @@ def _write_pages(out_dir: str, sf_name: str, n: int) -> list[str]:
         pq.write_table(sl, p)
         paths.append(p)
     _write_stateplane(out_dir, url, lon, lat, src, rows_per_shard)
+    _write_stateplane_tm(out_dir, url, lon, lat, src, rows_per_shard)
     return paths
 
 
@@ -532,6 +534,29 @@ def _write_stateplane(out_dir: str, url, lon, lat, src, rows_per_shard: int):
                        os.path.join(sp_dir, f"part-{s:04d}.parquet"))
 
 
+def _write_stateplane_tm(out_dir: str, url, lon, lat, src, rows_per_shard: int):
+    """Transverse-Mercator state-plane INPUT dataset: the geocodable
+    pages' points forward-projected ONCE into SPCS83 Delaware
+    (EPSG:26957, the TM zone whose central meridian band covers the
+    fixture area) and stored as parquet — same bit-identical-doubles
+    contract as the LCC sibling above (only the inverse runs inside
+    queries / the SQL oracle)."""
+    from vyperdatum_ray.core.projection import tm_forward
+
+    sp_dir = os.path.join(out_dir, "stateplane_tm")
+    os.makedirs(sp_dir, exist_ok=True)
+    m = src != 0
+    e, nn = tm_forward(lon[m], lat[m], 26957)
+    t = pa.table({
+        "url": pa.array(url[m], pa.string()),
+        "easting": pa.array(e, pa.float64()),
+        "northing": pa.array(nn, pa.float64()),
+    })
+    for s in range(max(1, (t.num_rows + rows_per_shard - 1) // rows_per_shard)):
+        pq.write_table(t.slice(s * rows_per_shard, rows_per_shard),
+                       os.path.join(sp_dir, f"part-{s:04d}.parquet"))
+
+
 def pages_paths(sf_dir: str) -> list[str]:
     return ensure_fixtures(sf_dir)["pages"]
 
@@ -539,6 +564,11 @@ def pages_paths(sf_dir: str) -> list[str]:
 def stateplane_dir(sf_dir: str) -> str:
     ensure_fixtures(sf_dir)
     return os.path.join(fixture_dir(sf_dir), "stateplane")
+
+
+def stateplane_tm_dir(sf_dir: str) -> str:
+    ensure_fixtures(sf_dir)
+    return os.path.join(fixture_dir(sf_dir), "stateplane_tm")
 
 
 def catalog_dir(sf_dir: str) -> str:

@@ -532,6 +532,27 @@ JOIN geo g ON g.url = w.url
 WHERE w.rn = 1"""
 
 
+def q_transform_stateplane_tm(fx: str) -> str:
+    """Mirror of queries.q_transform_stateplane_tm: read the fixture's
+    TM-projected dataset (bit-identical parquet doubles on both sides),
+    recover geographic coordinates with the mirrored Krüger TM inverse
+    (zone scalars repr-embedded), then the standard membership +
+    transform on the recovered coordinates."""
+    from vyperdatum_ray.core.projection import sql_tm_inverse_ctes
+
+    return f"""WITH
+tmin AS (SELECT * FROM read_parquet('{fx}/stateplane_tm/*.parquet')),
+{sql_tm_inverse_ctes("sp", "tmin", "easting", "northing", 26957,
+                     "url, easting, northing")},
+geo AS (SELECT url, easting, northing, rlon AS lon, rlat AS lat FROM sptm),
+{_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT g.url, g.easting, g.northing, g.lon, g.lat,
+  w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w
+JOIN geo g ON g.url = w.url
+WHERE w.rn = 1"""
+
+
 def q_external_region_transform(fx: str) -> str:
     """Mirror of queries.q_external_region_transform: every catalog
     table unioned with its ``external/`` sibling (the user region's

@@ -264,18 +264,225 @@ def q_neardup_embedding(sf_dir: str, tau: float = 0.4,
     )
 
 
-def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4) -> ray.data.Dataset:
+DEDUP_PAIR_DRIVER_CAP = 2_000_000  # edges the driver union-find may hold
+LP_SALT_GROUPS = np.uint64(1024)   # bounded exchange groups per LP round
+LP_MAX_ROUNDS = 64                 # >= component diameter; dup graphs are shallow
+LP_SALT_MULT = np.uint64(2654435761)
+
+
+def _lp_salt_of(nodes: np.ndarray) -> pa.Array:
+    u = nodes.astype(np.uint64)
+    return pa.array((u * LP_SALT_MULT) % LP_SALT_GROUPS, pa.uint64())
+
+
+def _lp_components(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed min-label propagation: connected-component labels
+    (min vec_id per component) for every node touched by an edge,
+    without ever collecting the edge list to the driver.
+
+    Join-free: each round is two bounded-salt exchanges (the repo's
+    union + salted groupby repartition-join shape — ``Dataset.join`` is
+    avoided per the two-joins-deadlock pitfall). Round = (1) co-group
+    each node's current label with its outgoing edges by a 1024-way
+    salt of the SOURCE id and emit (dst, label_of_src) messages; (2)
+    co-group messages with current labels by a salt of the receiving
+    node and take the per-node min, carrying the old label so the
+    round's change count is a cheap Sum. Labels shrink monotonically to
+    the component min, so the fixed point (0 changes) is exact; rounds
+    ~ component diameter (near-dup graphs are near-cliques, so a
+    handful). All state stays in the object store as (node, label)
+    rows — nothing is O(edges) or O(nodes) on the driver."""
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("vec_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "key": pa.array(src, pa.int64()),
+            "val": pa.array(dst, pa.int64()),
+            "kind": pa.array(np.ones(len(src), np.int8), pa.int8()),
+            "salt": _lp_salt_of(src),
+        })
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        # per-batch distinct endpoints; cross-batch dups collapse in the
+        # first round's groupby-min (labels start as the node id, so
+        # duplicates are identical rows)
+        a = t.column("vec_id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("vec_id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.unique(np.concatenate([a, b]))
+        return pa.table({
+            "node": pa.array(n, pa.int64()),
+            "label": pa.array(n, pa.int64()),
+        })
+
+    def reduce_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["label"].min()
+        return g
+
+    def label_salt(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("nsalt", _lp_salt_of(n))
+
+    # Block-count discipline: groupby/Sort preserve their input block
+    # count and map_groups can emit near-empty blocks, so an unbounded
+    # loop INFLATES block counts round over round (observed: a 49-row
+    # label table shattered into ~1800 one-row blocks, turning each
+    # round into ~1800 scheduler round-trips). Repartition the label
+    # table back to the edge dataset's block count after every round.
+    n_parts = max(8, edges.num_blocks())
+    labels = (
+        pairs_ds.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(label_salt, batch_format="pyarrow")
+        .groupby("nsalt").map_groups(reduce_labels, batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def send_messages(df: pd.DataFrame) -> pd.DataFrame:
+        # one salt group: kind-0 rows are (key=node, val=label), kind-1
+        # rows are edges (key=src, val=dst); every node's label row
+        # shares the group with its outgoing edges (salt keys on src)
+        lab = df[df["kind"] == 0][["key", "val"]].rename(columns={"val": "label"})
+        e = df[df["kind"] == 1].merge(lab, on="key")
+        return pd.DataFrame({"node": e["val"].to_numpy(np.int64),
+                             "label": e["label"].to_numpy(np.int64)})
+
+    def min_with_old(df: pd.DataFrame) -> pd.DataFrame:
+        # self rows carry the node's current label as `old`; message
+        # rows carry old=INT64_MAX, so min(old) is the true previous
+        # label (every touched node has exactly one self row)
+        g = df.groupby("node", as_index=False).agg(
+            label=("label", "min"), old=("old", "min"))
+        g["changed"] = (g["label"] != g["old"]).astype(np.int64)
+        return g[["node", "label", "changed"]]
+
+    for _round in range(LP_MAX_ROUNDS):
+        def tag_label_rows(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "key": pa.array(n, pa.int64()),
+                "val": pa.array(lab, pa.int64()),
+                "kind": pa.array(np.zeros(len(n), np.int8), pa.int8()),
+                "salt": _lp_salt_of(n),
+            })
+
+        u = edges.union(labels.map_batches(tag_label_rows, batch_format="pyarrow"))
+        msgs = u.groupby("salt").map_groups(send_messages, batch_format="pandas")
+
+        def msg_rows(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": t.column("node"), "label": t.column("label"),
+                "old": pa.array(np.full(len(n), np.iinfo(np.int64).max), pa.int64()),
+                "nsalt": _lp_salt_of(n),
+            })
+
+        def self_rows(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": t.column("node"), "label": t.column("label"),
+                "old": t.column("label"), "nsalt": _lp_salt_of(n),
+            })
+
+        nxt = (
+            msgs.map_batches(msg_rows, batch_format="pyarrow")
+            .union(labels.map_batches(self_rows, batch_format="pyarrow"))
+            .groupby("nsalt").map_groups(min_with_old, batch_format="pandas")
+            .repartition(n_parts)
+            .materialize()
+        )
+        n_changed = int(nxt.sum("changed") or 0)
+        # cheap map over the materialized nxt — no extra copy
+        labels = nxt.drop_columns(["changed"])
+        # break the finished executors' reference cycles NOW so their
+        # resources release before the next round (see CLAUDE.md)
+        import gc
+        gc.collect()
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"label propagation did not converge in {LP_MAX_ROUNDS} rounds")
+
+
+def _dedup_clusters_distributed(sf_dir: str,
+                                pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Past-the-cap path: component labels via distributed label
+    propagation, then cluster assignment as one bounded-salt
+    repartition join (corpus rows probe the label map inside salted
+    groups) — neither the edge list nor the label map ever sits on the
+    driver or broadcasts whole."""
+    labels = _lp_components(pairs_ds)
+
+    def label_side(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(n, pa.int64()),
+            "val": t.column("label"),
+            "kind": pa.array(np.zeros(len(n), np.int8), pa.int8()),
+            "salt": _lp_salt_of(n),
+        })
+
+    def probe_side(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(ids, pa.int64()),
+            "val": pa.array(ids, pa.int64()),  # default: own cluster
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "salt": _lp_salt_of(ids),
+        })
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        # int-exact searchsorted lookup (a pandas left-merge would float
+        # the root column on misses and lose exactness past 2^53)
+        lab = df[df["kind"] == 0]
+        keys = lab["key"].to_numpy(np.int64)
+        roots = lab["val"].to_numpy(np.int64)
+        o = np.argsort(keys)
+        keys, roots = keys[o], roots[o]
+        ids = df[df["kind"] == 1]["key"].to_numpy(np.int64)
+        cluster = ids.copy()
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, ids), len(keys) - 1)
+            hit = keys[pos] == ids
+            cluster[hit] = roots[pos[hit]]
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster_id": cluster,
+            "is_canonical": (ids == cluster).astype(np.int64),
+        })
+
+    u = labels.map_batches(label_side, batch_format="pyarrow").union(
+        _emb(sf_dir).map_batches(probe_side, batch_format="pyarrow"))
+    return u.groupby("salt").map_groups(assign, batch_format="pandas")
+
+
+def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4,
+                               pair_cap: int = DEDUP_PAIR_DRIVER_CAP,
+                               ) -> ray.data.Dataset:
     """Near-dup DEDUP (keep-one) over the embedding-cosine graph:
     connected components of the exact pair graph, canonical = min
     vec_id per component; every vector gets (cluster_id, is_canonical).
 
-    Scale shape: the pair set is the bounded output of the block-pair
-    self-join (near-dup density, not corpus size), so the union-find
-    runs driver-side on that small edge list; the root map broadcasts
-    once and the corpus STREAMS through a vectorized searchsorted
-    lookup. (For pathological densities, label propagation via
-    iterated groupby-min replaces the driver step.)"""
-    pairs = q_neardup_embedding(sf_dir, tau=tau).to_pandas()
+    Scale shape, dual-path on the measured pair count: the pair set is
+    normally bounded by near-dup density, so under ``pair_cap`` edges
+    the union-find runs driver-side, the root map broadcasts once, and
+    the corpus STREAMS through a vectorized searchsorted lookup. Past
+    the cap (template-spam corpora with dense dup graphs) the driver
+    never sees the edges: ``_lp_components`` runs distributed min-label
+    propagation (iterated salted groupby-min) to the exact fixed point,
+    and cluster assignment happens through one more bounded-salt
+    repartition join instead of a broadcast."""
+    pairs_ds = q_neardup_embedding(sf_dir, tau=tau).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs > pair_cap:
+        return _dedup_clusters_distributed(sf_dir, pairs_ds)
+    pairs = pairs_ds.to_pandas()
     a = pairs["vec_id_a"].to_numpy(np.int64)
     b = pairs["vec_id_b"].to_numpy(np.int64)
     parent: dict[int, int] = {}

@@ -291,10 +291,22 @@ def q_image_neardup(sf_dir: str, max_hamming: int = 6) -> ray.data.Dataset:
             })
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized bucket detection (the textops._pairs_grouped run
+        # pattern, carrying hashes): one packed-key sort per salt group,
+        # contiguous-slice runs instead of a pandas groupby object per
+        # (band, val) bucket
+        key = ((df["band"].to_numpy().astype(np.int64) << 16)
+               | df["val"].to_numpy().astype(np.int64))  # val < 2^16
+        all_ids = df["img_id"].to_numpy().astype(np.int64)
+        all_hs = df["phash"].to_numpy().view(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key, all_ids, all_hs = key[order], all_ids[order], all_hs[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
         out_a, out_b, out_h = [], [], []
-        for (_b, _v), g in df.groupby(["band", "val"]):
-            ids = g["img_id"].to_numpy()
-            hs = g["phash"].to_numpy().view(np.uint64)
+        for st, en in zip(starts, ends):
+            ids = all_ids[st:en]
+            hs = all_hs[st:en]
             if len(ids) < 2:
                 continue
             if len(ids) > 4096:

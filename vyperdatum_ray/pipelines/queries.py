@@ -285,6 +285,53 @@ def q_transform_stateplane(sf_dir: str, epsg: int = 3631) -> ray.data.Dataset:
          "z_out", "unc"])
 
 
+def q_transform_stateplane_tm(sf_dir: str, epsg: int = 26957) -> ray.data.Dataset:
+    """Transverse-Mercator state-plane INPUT-CRS path (VERDICT r3 item
+    4): same shape as ``q_transform_stateplane`` but the input arrives
+    projected in SPCS83 Delaware (EPSG:26957, TM — the zone family the
+    reference reaches via pyproj for AK/DE/etc, vypercrs.py:685-812);
+    the engine inverse-projects with the from-scratch Krüger TM kernel
+    parameterized by the zone's natural origin, then runs the normal
+    PIP + datum transform."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.core.projection import tm_inverse
+    from vyperdatum_ray.fixtures import stateplane_tm_dir
+    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+
+    catalog_ref = ray.put(load_catalog(sf_dir))
+
+    def unproject(batch: pa.Table) -> pa.Table:
+        e = batch.column("easting").to_numpy(zero_copy_only=False)
+        n = batch.column("northing").to_numpy(zero_copy_only=False)
+        rlon, rlat = tm_inverse(e, n, epsg)
+        return pa.table({
+            "url": batch.column("url"),
+            "easting": batch.column("easting"),
+            "northing": batch.column("northing"),
+            "lon": pa.array(rlon, pa.float64()),
+            "lat": pa.array(rlat, pa.float64()),
+        })
+
+    ds = ray.data.read_parquet(stateplane_tm_dir(sf_dir))
+    ds = ds.map_batches(unproject, batch_format="pyarrow")
+    ds = ds.map_batches(
+        JoinTransform,
+        fn_constructor_kwargs=dict(
+            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
+            in_is_height=True, out_is_height=False,
+        ),
+        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "easting", "northing", "lon", "lat", "region", "region_index",
+         "z_out", "unc"])
+
+
 def q_external_region_transform(sf_dir: str) -> ray.data.Dataset:
     """Catalog-as-data extensibility end-to-end (SURVEY §2.9, reference
     core.py:671-764): a USER-supplied region arrives as parquet

@@ -1393,14 +1393,25 @@ def q_unigram_logprob(sf_dir: str, vocab_cap: int = VOCAB_CAP) -> ray.data.Datas
         return pa.table({"token": vc.field("values"),
                          "p_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    freq = (
+    # The distinct-token table NEVER reaches the driver: it is grouped
+    # distributed, materialized once in the object store (bounded
+    # per-block, spillable — at web scale this is billions of rows, far
+    # too big for driver pandas), then consumed twice — a Sum for the
+    # grand total and a distributed sort+limit for the top-vocab_cap
+    # head (the only part that is driver-sized, <= vocab_cap rows).
+    # OOV mass is derived as total - sum(kept), bit-identical to the
+    # old full-table tail sum because counts are exact int64.
+    freq_ds = (
         _docs(sf_dir, ["text"]).map_batches(freq_partial, batch_format="pyarrow")
-        .groupby("token").aggregate(Sum("p_n", alias_name="n")).to_pandas()
+        .groupby("token").aggregate(Sum("p_n", alias_name="n")).materialize()
     )
-    freq = freq.sort_values(["n", "token"], ascending=[False, True])
-    total = float(freq["n"].sum())
-    kept = freq.head(vocab_cap)
-    oov_total = float(freq["n"].iloc[vocab_cap:].sum())
+    total_i = int(freq_ds.sum("n") or 0)
+    kept = (freq_ds.sort(["n", "token"], descending=[True, False])
+            .limit(vocab_cap).to_pandas())
+    # exact arbitrary-precision subtraction BEFORE the float cast, so
+    # the OOV mass equals the oracle's exact tail sum even past 2^53
+    oov_total = float(total_i - int(kept["n"].sum()))
+    total = float(total_i)
     vocab = kept["token"].to_numpy()
     order = np.argsort(vocab)
     vocab_sorted = vocab[order]
@@ -1563,11 +1574,13 @@ def q_tfidf_terms(sf_dir: str, k: int = TFIDF_K,
         g = uniq.groupby("t", as_index=False).agg(p_df=("d", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # distributed sort + limit — only the vocab_cap head ever reaches
+    # the driver (the full distinct-token df table would be billions of
+    # rows at web scale)
     dftab = (docs.map_batches(df_partial, batch_format="pyarrow")
              .groupby("t").aggregate(Sum("p_df", alias_name="df"))
-             .to_pandas()
-             .sort_values(["df", "t"], ascending=[False, True])
-             .head(vocab_cap))
+             .sort(["df", "t"], descending=[True, False])
+             .limit(vocab_cap).to_pandas())
     idf_q = np.floor(np.log(float(n_docs) / dftab["df"].to_numpy())
                      * 1e6 + 0.5).astype(np.int64)
     # broadcast as an Arrow array + numpy ints: ray.get is zero-copy
@@ -1654,12 +1667,18 @@ def q_bigram_logprob(sf_dir: str, vocab_cap: int = BIGRAM_VOCAB_CAP) -> ray.data
         return pa.table({"g": vc.field("values"),
                          "p_n": pc.cast(vc.field("counts"), pa.int64())})
 
-    freq = (docs.map_batches(freq_partial, batch_format="pyarrow")
-            .groupby("g").aggregate(Sum("p_n", alias_name="n"))
-            .to_pandas().sort_values(["n", "g"], ascending=[False, True]))
-    total = float(freq["n"].sum())
-    head = freq.head(vocab_cap)
-    oov_count = float(freq["n"][vocab_cap:].sum())
+    # distinct-bigram table stays distributed (materialized once in the
+    # object store, consumed by a Sum total + a sort/limit head) — the
+    # same no-driver-materialization discipline as q_unigram_logprob;
+    # at web scale the bigram vocabulary is billions of rows
+    freq_ds = (docs.map_batches(freq_partial, batch_format="pyarrow")
+               .groupby("g").aggregate(Sum("p_n", alias_name="n"))
+               .materialize())
+    total_i = int(freq_ds.sum("n") or 0)
+    head = (freq_ds.sort(["n", "g"], descending=[True, False])
+            .limit(vocab_cap).to_pandas())
+    oov_count = float(total_i - int(head["n"].sum()))
+    total = float(total_i)
     s_int = np.floor(-np.log(head["n"].to_numpy() / total) * 1e6 + 0.5) \
         .astype(np.int64)
     oov_s = (np.int64(np.floor(-np.log(oov_count / total) * 1e6 + 0.5))

@@ -27,8 +27,21 @@ SPLIT_MULT = np.uint64(2246822519)
 DRAW_MULT = np.uint64(3266489917)
 
 SEQ_LEN = 2048          # tokens per packed training sequence
-PACK_SHARD_BITS = 8     # 256 docs per prefix-sum shard
+PACK_SHARD_BITS = 8     # 256 docs per prefix-sum shard (floor; auto-widens)
 _PACK_SALT_GROUPS = 1024
+PACK_MAX_DRIVER_SHARDS = 1 << 20  # driver offset-table cap (~16 MB)
+
+
+def _pack_shard_bits(n_docs: int) -> int:
+    """Auto-scale the prefix-sum shard width so the driver's offset
+    table stays <= PACK_MAX_DRIVER_SHARDS entries under dense ids:
+    widen past the 2^8 floor once n_docs exceeds 2^28. Sparse id spaces
+    are additionally caught at runtime by the measured distinct-shard
+    count, which switches to the two-level prefix path."""
+    bits = PACK_SHARD_BITS
+    while (n_docs >> bits) > PACK_MAX_DRIVER_SHARDS:
+        bits += 1
+    return bits
 
 
 def _hash32(ids: np.ndarray, mult: np.uint64) -> np.ndarray:
@@ -97,49 +110,61 @@ _QUALITY_WEIGHT_SQL = (
 )
 
 
-def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
+def q_seq_pack(sf_dir: str, shard_bits: int | None = None,
+               max_driver_shards: int = PACK_MAX_DRIVER_SHARDS,
+               ) -> ray.data.Dataset:
     """Pack the doc_id-ordered corpus into fixed SEQ_LEN-token training
     sequences: each document gets the sequence id and offset where its
     tokens start in the global concatenation. A global ordered prefix
-    sum, done distributed in two passes:
+    sum, done distributed:
 
-    1. per-shard token totals (shard = doc_id >> 8): a per-batch
-       combiner emits (shard, partial_sum) rows, a bounded groupby-sum
-       merges them, and the driver cumsums the shard table — the only
-       driver-side state is n_docs/256 (shard, offset) pairs; at
-       trillions of docs widen the shard or add a second prefix level.
-    2. the offset table broadcasts once (ray.put); docs stream through
-       a bounded-salt groupby (shard % 1024) where each group sorts by
-       doc_id and computes its shards' local cumsums vectorized.
+    1. per-shard token totals (shard = doc_id >> bits, bits auto-scaled
+       from the parquet metadata row count so dense corpora keep <=
+       ``max_driver_shards`` shards): a per-batch combiner emits
+       (shard, partial_sum) rows and a bounded groupby-sum merges them
+       — materialized distributed, never collected whole.
+    2. prefix offsets per shard. If the MEASURED distinct-shard count
+       fits ``max_driver_shards`` the driver cumsums the shard table
+       and broadcasts it (one ray.put). Otherwise (sparse id spaces,
+       or corpora past 2^20 x 2^bits docs) a SECOND prefix level runs:
+       super-shard totals (shard >> 10) cumsum on the driver — 1024x
+       smaller — and each super's shards get their offsets vectorized
+       inside a salted groupby; the per-shard offset table then never
+       exists in one place.
+    3. docs stream through a bounded-salt groupby (shard % 1024) where
+       each group sorts by doc_id and computes its shards' local
+       cumsums vectorized; in the two-level path the shard offsets
+       arrive in the SAME salt groups as union rows (a repartition
+       join) instead of a broadcast.
 
     The shuffle carries only (doc_id, shard, n_tok) int rows — text
     never leaves pass 1's fused read tasks."""
     from ray.data.aggregate import Sum
 
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    if shard_bits is None:
+        shard_bits = _pack_shard_bits(docs.count())  # metadata-only count
+
     def shard_partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = _n_tok(t.column("text"))
-        shard = ids >> PACK_SHARD_BITS
+        shard = ids >> shard_bits
         us, inv = np.unique(shard, return_inverse=True)
         sums = np.bincount(inv, weights=ntok).astype(np.int64)
         return pa.table({"shard": pa.array(us, pa.int64()),
                          "p_tok": pa.array(sums, pa.int64())})
 
-    totals = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(shard_partial, batch_format="pyarrow")
+    totals_ds = (
+        docs.map_batches(shard_partial, batch_format="pyarrow")
         .groupby("shard").aggregate(Sum("p_tok", alias_name="tok"))
-        .to_pandas().sort_values("shard")
+        .materialize()
     )
-    shards = totals["shard"].to_numpy()
-    tok = totals["tok"].to_numpy()
-    offs = np.concatenate([[0], np.cumsum(tok)[:-1]]).astype(np.int64)
-    off_ref = ray.put((shards, offs))
+    n_shards = totals_ds.count()
 
     def prep(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ntok = _n_tok(t.column("text"))
-        shard = ids >> PACK_SHARD_BITS
+        shard = ids >> shard_bits
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_tok": pa.array(ntok, pa.int64()),
@@ -147,20 +172,22 @@ def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
             "salt": pa.array(shard % _PACK_SALT_GROUPS, pa.int64()),
         })
 
-    def pack_group(df):
+    prepped = docs.map_batches(prep, batch_format="pyarrow")
+
+    def _rebase(df, shard_keys: np.ndarray, shard_offs: np.ndarray):
+        """Sort one salt group by doc_id, exclusive-cumsum within each
+        shard segment, rebase to the shard's global offset."""
         import pandas as pd
 
-        g_shards, g_offs = ray.get(off_ref)
         df = df.sort_values("doc_id")
         ntok = df["n_tok"].to_numpy()
         shard = df["shard"].to_numpy()
         cs = np.cumsum(ntok) - ntok  # exclusive cumsum over the group
-        # rebase each shard segment (shard is nondecreasing after the
-        # doc_id sort) to its broadcast global offset
+        # shard is nondecreasing after the doc_id sort
         starts = np.concatenate([[0], np.flatnonzero(np.diff(shard) != 0) + 1])
         seg_len = np.diff(np.concatenate([starts, [len(shard)]]))
         base = np.repeat(cs[starts], seg_len)
-        glob = cs - base + g_offs[np.searchsorted(g_shards, shard)]
+        glob = cs - base + shard_offs[np.searchsorted(shard_keys, shard)]
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
             "n_tok": ntok,
@@ -168,12 +195,89 @@ def q_seq_pack(sf_dir: str) -> ray.data.Dataset:
             "seq_off": glob % SEQ_LEN,
         })
 
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("salt")
-        .map_groups(pack_group, batch_format="pandas")
+    if n_shards <= max_driver_shards:
+        # one-level: driver cumsum + one broadcast (the common case)
+        totals = totals_ds.to_pandas().sort_values("shard")
+        shards = totals["shard"].to_numpy()
+        tok = totals["tok"].to_numpy()
+        offs = np.concatenate([[0], np.cumsum(tok)[:-1]]).astype(np.int64)
+        off_ref = ray.put((shards, offs))
+
+        def pack_group(df):
+            g_shards, g_offs = ray.get(off_ref)
+            return _rebase(df, g_shards, g_offs)
+
+        return prepped.groupby("salt").map_groups(
+            pack_group, batch_format="pandas")
+
+    # --- two-level prefix: driver holds only SUPER-shard offsets ---
+    SUPER_BITS = 10  # 1024 shards per super-shard
+
+    def super_partial(t: pa.Table) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = t.column("tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = sh >> SUPER_BITS
+        us, inv = np.unique(sup, return_inverse=True)
+        sums = np.bincount(inv, weights=tk).astype(np.int64)
+        return pa.table({"super": pa.array(us, pa.int64()),
+                         "s_tok": pa.array(sums, pa.int64())})
+
+    sup = (totals_ds.map_batches(super_partial, batch_format="pyarrow")
+           .groupby("super").aggregate(Sum("s_tok", alias_name="tok"))
+           .to_pandas().sort_values("super"))
+    sup_keys = sup["super"].to_numpy()
+    sup_offs = np.concatenate([[0], np.cumsum(sup["tok"].to_numpy())[:-1]]) \
+        .astype(np.int64)
+    sup_ref = ray.put((sup_keys, sup_offs))
+
+    def add_super_salt(t: pa.Table) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "ssalt", pa.array((sh >> SUPER_BITS) % _PACK_SALT_GROUPS, pa.int64()))
+
+    def shard_offsets_group(df):
+        # all shards of each super land in one salt group (salted on
+        # super): exclusive cumsum per super, rebased to its offset
+        import pandas as pd
+
+        g_sup, g_offs = ray.get(sup_ref)
+        df = df.sort_values("shard")
+        sh = df["shard"].to_numpy()
+        tk = df["tok"].to_numpy()
+        sup_of = sh >> SUPER_BITS
+        cs = np.cumsum(tk) - tk
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sup_of) != 0) + 1])
+        seg_len = np.diff(np.concatenate([starts, [len(sh)]]))
+        base = np.repeat(cs[starts], seg_len)
+        off = cs - base + g_offs[np.searchsorted(g_sup, sup_of)]
+        return pd.DataFrame({"shard": sh, "off": off})
+
+    shard_offs_ds = (
+        totals_ds.map_batches(add_super_salt, batch_format="pyarrow")
+        .groupby("ssalt").map_groups(shard_offsets_group, batch_format="pandas")
     )
+
+    # route shard offsets into the SAME salt groups as the doc rows
+    # (union + salted groupby = repartition join; no broadcast)
+    def off_rows(t: pa.Table) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.full(len(sh), -1), pa.int64()),
+            "n_tok": t.column("off"),  # offset rides the n_tok column
+            "shard": pa.array(sh, pa.int64()),
+            "salt": pa.array(sh % _PACK_SALT_GROUPS, pa.int64()),
+        })
+
+    def pack_group_joined(df):
+        is_off = df["doc_id"].to_numpy() == -1
+        offmap = df[is_off]
+        keys = offmap["shard"].to_numpy(np.int64)
+        offs_ = offmap["n_tok"].to_numpy(np.int64)
+        o = np.argsort(keys)
+        return _rebase(df[~is_off], keys[o], offs_[o])
+
+    u = prepped.union(shard_offs_ds.map_batches(off_rows, batch_format="pyarrow"))
+    return u.groupby("salt").map_groups(pack_group_joined, batch_format="pandas")
 
 
 SEQ_PACK_ORACLE = r"""

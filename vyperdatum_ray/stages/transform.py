@@ -101,9 +101,11 @@ class DatumTransformer:
         self.region_names = np.array([r.name for r in self.catalog.regions], dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.stages.region_join import membership_words
+
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        mask = batch.column("region_mask").to_numpy(zero_copy_only=False)
+        mask_words = membership_words(batch)  # 1 word per 64 regions
         n = len(lon)
         if self.z_col is not None:
             z_in = batch.column(self.z_col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -123,7 +125,7 @@ class DatumTransformer:
         for i, steps in enumerate(self.region_steps):
             if steps is None:
                 continue
-            member = (mask >> np.uint64(i)) & np.uint64(1) == 1
+            member = (mask_words[i >> 6] >> np.uint64(i & 63)) & np.uint64(1) == 1
             if not member.any():
                 continue
             idx = np.nonzero(member)[0]

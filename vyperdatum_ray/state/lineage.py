@@ -36,6 +36,40 @@ import ray
 import ray.data
 
 SCHEMA_VERSION = 1
+MANIFEST_NAME = "_catalog_manifest.json"  # _-prefix: not a shard record
+
+
+def write_catalog_manifest(out_dir: str, catalog) -> dict:
+    """Versioned catalog manifest (T5 completion; the reference keeps a
+    per-VDatum-version grid-hash DB, vdatum_validation.py:1384-1394):
+    per-grid content MD5s plus a structure fingerprint, committed
+    atomically next to the lineage records after a successful run.
+    Enables MIXED-VERSION resume: on the next run, a changed grid
+    invalidates exactly the shards whose recorded ``region_set``
+    touches it (see ``completed_shards``)."""
+    man = {
+        "schema_version": SCHEMA_VERSION,
+        "catalog_version": catalog.version,
+        "structure": catalog.structure_fingerprint(),
+        "grids": catalog.grid_fingerprints(),
+    }
+    ldir = lineage_dir(out_dir)
+    os.makedirs(ldir, exist_ok=True)
+    final = os.path.join(ldir, MANIFEST_NAME)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.replace(tmp, final)
+    return man
+
+
+def load_catalog_manifest(out_dir: str) -> dict | None:
+    path = os.path.join(lineage_dir(out_dir), MANIFEST_NAME)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def _shard_of(path: str) -> str:
@@ -46,15 +80,42 @@ def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
-def completed_shards(out_dir: str, transform_version: str) -> dict[str, dict]:
-    """Shard -> lineage record for every committed, version-current
-    shard."""
+def completed_shards(out_dir: str, transform_version: str,
+                     catalog=None) -> dict[str, dict]:
+    """Shard -> lineage record for every committed shard that is still
+    CURRENT under the staleness rules:
+
+    * a record stamped with the current transform version is done;
+    * with a ``catalog`` and a stored manifest whose STRUCTURE
+      fingerprint matches (same regions/polygons/sigmas — only grid
+      VALUES may differ), a record from the manifest's catalog version
+      is also done iff its ``region_set`` is disjoint from the regions
+      whose grids changed — so a rolling grid upgrade re-runs exactly
+      the shards it affects. A structure change (regions added/moved,
+      sigmas edited) can re-route points between regions, so it always
+      invalidates everything; likewise records too old to carry a
+      region_set. Assumption (documented): a value-only grid change
+      keeps its coverage footprint — coverage-EXTENDING grid edits also
+      change grid geometry rows, which alters the structure-adjacent
+      grid key set and is caught by the fingerprint diff only if the
+      key set changed; otherwise run with a fresh out_dir."""
     ldir = lineage_dir(out_dir)
     done: dict[str, dict] = {}
     if not os.path.isdir(ldir):
         return done
+    fine = None  # (old_version, changed_region_set) when fine-grained applies
+    if catalog is not None:
+        man = load_catalog_manifest(out_dir)
+        if man and man.get("structure") == catalog.structure_fingerprint():
+            cur = catalog.grid_fingerprints()
+            old = man.get("grids", {})
+            changed = {k.split("/", 1)[0]
+                       for k in set(cur) | set(old)
+                       if cur.get(k) != old.get(k)}
+            fine = (man.get("catalog_version"), changed)
     for name in os.listdir(ldir):
-        if not name.endswith(".json") or name.startswith("_"):
+        if not name.endswith(".json") or name.startswith("_") \
+                or name == MANIFEST_NAME:
             continue
         try:
             with open(os.path.join(ldir, name)) as f:
@@ -62,6 +123,11 @@ def completed_shards(out_dir: str, transform_version: str) -> dict[str, dict]:
         except (OSError, json.JSONDecodeError):
             continue  # partial/corrupt record -> recompute that shard
         if rec.get("transform_version") == transform_version:
+            done[rec["shard"]] = rec
+        elif (fine is not None
+              and rec.get("transform_version") == fine[0]
+              and "region_set" in rec
+              and not set(rec["region_set"]) & fine[1]):
             done[rec["shard"]] = rec
     return done
 
@@ -80,6 +146,7 @@ def run_flagship_checkpointed(
     sf_dir: str,
     out_dir: str,
     batch_size: int = 16384,
+    catalog=None,
 ) -> dict:
     """Run the flagship pipeline shard-resumably; returns run metrics.
 
@@ -90,11 +157,12 @@ def run_flagship_checkpointed(
     from vyperdatum_ray.fixtures import pages_paths
 
     t0 = time.perf_counter()
-    catalog = load_catalog(sf_dir)
+    if catalog is None:
+        catalog = load_catalog(sf_dir)
     version = catalog.version
 
     all_paths = sorted(pages_paths(sf_dir))
-    done = completed_shards(out_dir, version)
+    done = completed_shards(out_dir, version, catalog=catalog)
     pending = [p for p in all_paths if _shard_of(p) not in done]
     metrics = {
         "n_shards_total": len(all_paths),
@@ -103,6 +171,7 @@ def run_flagship_checkpointed(
         "transform_version": version,
     }
     if not pending:
+        write_catalog_manifest(out_dir, catalog)
         metrics["elapsed_s"] = round(time.perf_counter() - t0, 3)
         _write_metrics(out_dir, metrics)
         return metrics
@@ -160,14 +229,17 @@ def run_flagship_checkpointed(
             _commit_record(out_dir, {
                 "schema_version": SCHEMA_VERSION, "shard": _shard_of(p),
                 "input_file": p, "row_range": [0, n_in], "n_rows_in": n_in,
-                "n_rows_out": 0, "cell_set": [], "transform_version": version,
+                "n_rows_out": 0, "cell_set": [], "region_set": [],
+                "transform_version": version,
             })
             rows_in += n_in
+        write_catalog_manifest(out_dir, catalog)
         metrics.update(rows_in=rows_in, rows_out=0,
                        elapsed_s=round(time.perf_counter() - t0, 3))
         _write_metrics(out_dir, metrics)
         return metrics
-    out = ray.data.read_parquet(pending_files, columns=["tile_id"], include_paths=True)
+    out = ray.data.read_parquet(pending_files, columns=["tile_id", "region"],
+                                include_paths=True)
 
     def partial(batch: pa.Table) -> pa.Table:
         paths = batch.column("path").to_pylist()
@@ -177,17 +249,20 @@ def run_flagship_checkpointed(
             dtype=object,
         )
         tid = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        reg = batch.column("region").to_numpy(zero_copy_only=False)
         rows = []
         for s in np.unique(sh):
             m = sh == s
             rows.append({"shard": str(s), "n": int(m.sum()),
-                         "tiles": np.unique(tid[m]).tolist()})
+                         "tiles": np.unique(tid[m]).tolist(),
+                         "regions": np.unique(reg[m]).tolist()})
         return pa.Table.from_pylist(rows)
 
     def merge(df):
         tiles = sorted({t for lst in df["tiles"] for t in lst})
+        regions = sorted({r for lst in df["regions"] for r in lst})
         return df.iloc[:1].assign(n=df["n"].sum())[["shard", "n"]].assign(
-            tiles=[tiles]
+            tiles=[tiles], regions=[regions]
         )
 
     agg = (
@@ -213,12 +288,14 @@ def run_flagship_checkpointed(
             "n_rows_in": n_in,
             "n_rows_out": int(rec_row["n"]) if rec_row is not None else 0,
             "cell_set": [int(t) for t in rec_row["tiles"]] if rec_row is not None else [],
+            "region_set": [str(r) for r in rec_row["regions"]] if rec_row is not None else [],
             "transform_version": version,
         }
         _commit_record(out_dir, rec)
         rows_in += n_in
         rows_out += rec["n_rows_out"]
 
+    write_catalog_manifest(out_dir, catalog)
     metrics.update(
         rows_in=rows_in, rows_out=rows_out,
         elapsed_s=round(time.perf_counter() - t0, 3),
