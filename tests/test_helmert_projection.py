@@ -373,6 +373,46 @@ def test_parse_crs_tm_and_points_api(ray_session):
     np.testing.assert_array_equal(tx, lon)
 
 
+def test_om_alaska1_reference_golden():
+    """SPCS83 Alaska zone 1 (Hotine oblique Mercator, the reference's
+    fourth state-plane golden): forward must reproduce the reference's
+    VDatum-derived eastings/northings (vdatum_validation.py:1436-1441,
+    EPSG:3468, asserted there at 0.1 m; the variant-A kernel here
+    agrees to ~1 mm), and inverse recovers the 5-decimal inputs
+    exactly."""
+    from vyperdatum_ray.core.projection import om_forward, om_inverse
+
+    lon = np.array([-137.43590, -137.43580, -137.43570])
+    lat = np.array([57.61290, 57.61280, 57.61270])
+    ge = np.array([593515.511, 593520.860, 593526.209])
+    gn = np.array([649604.259, 649592.805, 649581.352])
+    e, n_ = om_forward(lon, lat, 3468)
+    assert np.abs(e - ge).max() < 0.005
+    assert np.abs(n_ - gn).max() < 0.005
+    rlon, rlat = om_inverse(e, n_, 3468)
+    np.testing.assert_array_equal(rlon, lon)
+    np.testing.assert_array_equal(rlat, lat)
+
+
+def test_om_roundtrip_property_and_parse():
+    """In-zone 5-decimal coordinates roundtrip exactly through the OM
+    kernel; EPSG 26931/3468 parse as kind 'om'."""
+    from vyperdatum_ray.core.crs import parse_crs
+    from vyperdatum_ray.core.projection import om_forward, om_inverse
+
+    rng = np.random.default_rng(3)
+    lon = np.round(rng.uniform(-141.0, -130.0, 200), 5)
+    lat = np.round(rng.uniform(54.5, 60.3, 200), 5)
+    e, n_ = om_forward(lon, lat, 26931)
+    rlon, rlat = om_inverse(e, n_, 26931)
+    np.testing.assert_array_equal(rlon, lon)
+    np.testing.assert_array_equal(rlat, lat)
+    info = parse_crs(3468)
+    assert info.kind == "om" and info.zone == 3468
+    info = parse_crs(("EPSG:26931", "mllw"))
+    assert info.kind == "om" and info.vertical == "mllw"
+
+
 def test_helmert_hop_z_linearity():
     """Property: the frame hop is locally linear in input height — a
     +10 m input z moves output z by 10 m within ~1e-3 m (the scale+

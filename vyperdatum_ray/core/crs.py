@@ -33,7 +33,9 @@ class CRSInfo:
 
 
 def _parse_horizontal(code: int) -> CRSInfo:
-    from vyperdatum_ray.core.projection import STATE_PLANE_LCC, STATE_PLANE_TM
+    from vyperdatum_ray.core.projection import (STATE_PLANE_LCC,
+                                                STATE_PLANE_OM,
+                                                STATE_PLANE_TM)
 
     if code in _GEOGRAPHIC_NAD83:
         return CRSInfo(kind="geographic", zone=None, vertical="ellipse")
@@ -44,13 +46,16 @@ def _parse_horizontal(code: int) -> CRSInfo:
         return CRSInfo(kind="lcc", zone=code, vertical="ellipse")
     if code in STATE_PLANE_TM:  # SPCS83 TM zones (DE + AK 2-9)
         return CRSInfo(kind="tm", zone=code, vertical="ellipse")
+    if code in STATE_PLANE_OM:  # SPCS83 AK zone 1 (Hotine OM)
+        return CRSInfo(kind="om", zone=code, vertical="ellipse")
     raise ValueError(
         f"unsupported horizontal CRS EPSG:{code} — this engine accepts "
         f"geographic NAD83 ({sorted(_GEOGRAPHIC_NAD83)}), NAD83 UTM "
         f"north zones (EPSG:6330+zone / 26900+zone), and the registered "
-        f"SPCS83 Lambert ({sorted(STATE_PLANE_LCC)}) and transverse-"
-        f"Mercator ({sorted(STATE_PLANE_TM)}) zones; other state-plane "
-        f"zones and non-NAD83 frames are not implemented"
+        f"SPCS83 Lambert ({sorted(STATE_PLANE_LCC)}), transverse-"
+        f"Mercator ({sorted(STATE_PLANE_TM)}) and oblique-Mercator "
+        f"({sorted(STATE_PLANE_OM)}) zones; other state-plane zones "
+        f"and non-NAD83 frames are not implemented"
     )
 
 

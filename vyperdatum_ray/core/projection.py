@@ -303,6 +303,110 @@ def tm_inverse(easting, northing, epsg: int):
             np.round(phi * RAD2DEG, LL_DECIMALS))
 
 
+# ------------------------- Hotine oblique Mercator (SPCS83 Alaska zone 1) ---
+#
+# The reference's fourth state-plane golden drives AK zone 1
+# (``vdatum_validation.py:1436-1441``, EPSG:3468) — a Hotine oblique
+# Mercator (variant A: false origin at the NATURAL origin, the EPSG
+# 9812 method), not a conic/cylindrical. Formulas follow the public
+# Snyder / EPSG Guidance Note 7-2 development; the implementation is
+# validated to 1 mm against the reference's VDatum-derived golden
+# eastings/northings in tests/test_helmert_projection.py.
+
+
+class OMZone:
+    """One Hotine-OM zone: EPSG-published projection-centre /
+    azimuth / scale parameters in, derived scalars (B, A, H, gamma0,
+    lam0) precomputed once."""
+
+    def __init__(self, name: str, k0: float, latc_deg: float, lonc_deg: float,
+                 azimuth_deg: float, rect_skew_deg: float,
+                 false_easting: float, false_northing: float):
+        self.name = name
+        self.false_easting = false_easting
+        self.false_northing = false_northing
+        phic = latc_deg * DEG2RAD
+        alphac = azimuth_deg * DEG2RAD
+        self.gammac = rect_skew_deg * DEG2RAD
+        sc = np.sin(phic)
+        self.B = np.sqrt(1.0 + E2 * np.cos(phic) ** 4 / (1.0 - E2))
+        self.A2 = A * self.B * k0 * np.sqrt(1.0 - E2) / (1.0 - E2 * sc * sc)
+        t0 = self._t(phic)
+        d_cap = (self.B * np.sqrt(1.0 - E2)
+                 / (np.cos(phic) * np.sqrt(1.0 - E2 * sc * sc)))
+        d2 = max(d_cap * d_cap, 1.0)
+        f_cap = d_cap + np.sqrt(d2 - 1.0) * np.sign(phic)
+        self.H = f_cap * t0 ** self.B
+        g_cap = (f_cap - 1.0 / f_cap) / 2.0
+        self.gamma0 = np.arcsin(np.sin(alphac) / d_cap)
+        self.lam0 = lonc_deg * DEG2RAD - np.arcsin(g_cap * np.tan(self.gamma0)) / self.B
+
+    @staticmethod
+    def _t(phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - E_ * s) / (1.0 + E_ * s)) ** (E_ / 2.0))
+
+
+def _dms3(d: int, m: int, s: float) -> float:
+    return d + m / 60.0 + s / 3600.0
+
+
+# SPCS83 Alaska zone 1 under its NAD83 / NAD83(NSRS2007) EPSG codes
+# (same defining parameters; 3468 is the code the reference golden uses)
+_AK1 = dict(k0=0.9999, latc_deg=57.0, lonc_deg=-_dms3(133, 40, 0.0),
+            azimuth_deg=_dms3(323, 7, 48.3685),
+            rect_skew_deg=_dms3(323, 7, 48.3685),
+            false_easting=5000000.0, false_northing=-5000000.0)
+STATE_PLANE_OM = {
+    26931: OMZone("AK-1", **_AK1),
+    3468: OMZone("AK-1 (NSRS2007)", **_AK1),
+}
+
+
+def om_forward(lon, lat, epsg: int):
+    """Geographic NAD83 -> SPCS83 AK-1 (meters), quantized 0.1 mm."""
+    z = STATE_PLANE_OM[epsg]
+    t = OMZone._t(np.asarray(lat, np.float64) * DEG2RAD)
+    q = z.H / t ** z.B
+    s = (q - 1.0 / q) / 2.0
+    big_t = (q + 1.0 / q) / 2.0
+    dl = z.B * (np.asarray(lon, np.float64) * DEG2RAD - z.lam0)
+    v_ = np.sin(dl)
+    u_cap = (-v_ * np.cos(z.gamma0) + s * np.sin(z.gamma0)) / big_t
+    v = z.A2 * np.log((1.0 - u_cap) / (1.0 + u_cap)) / (2.0 * z.B)
+    u = z.A2 * np.arctan2(s * np.cos(z.gamma0) + v_ * np.sin(z.gamma0),
+                          np.cos(dl)) / z.B
+    easting = v * np.cos(z.gammac) + u * np.sin(z.gammac) + z.false_easting
+    northing = u * np.cos(z.gammac) - v * np.sin(z.gammac) + z.false_northing
+    return np.round(easting, E_DECIMALS), np.round(northing, E_DECIMALS)
+
+
+def om_inverse(easting, northing, epsg: int):
+    """SPCS83 AK-1 (meters) -> geographic NAD83, quantized 1e-7 deg.
+    Fixed 5-iteration isometric-latitude recovery, like lcc_inverse."""
+    z = STATE_PLANE_OM[epsg]
+    de = np.asarray(easting, np.float64) - z.false_easting
+    dn = np.asarray(northing, np.float64) - z.false_northing
+    vp = de * np.cos(z.gammac) - dn * np.sin(z.gammac)
+    up = dn * np.cos(z.gammac) + de * np.sin(z.gammac)
+    qp = np.exp(-z.B * vp / z.A2)
+    sp = (qp - 1.0 / qp) / 2.0
+    tp_ = (qp + 1.0 / qp) / 2.0
+    vv = np.sin(z.B * up / z.A2)
+    uu = (vv * np.cos(z.gamma0) + sp * np.sin(z.gamma0)) / tp_
+    t = (z.H / np.sqrt((1.0 + uu) / (1.0 - uu))) ** (1.0 / z.B)
+    phi = np.pi / 2.0 - 2.0 * np.arctan2(t, 1.0)
+    for _ in range(5):
+        es = E_ * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan2(
+            t * ((1.0 - es) / (1.0 + es)) ** (E_ / 2.0), 1.0)
+    lam = z.lam0 - np.arctan2(sp * np.cos(z.gamma0) - vv * np.sin(z.gamma0),
+                              np.cos(z.B * up / z.A2)) / z.B
+    return (np.round(lam * RAD2DEG, LL_DECIMALS),
+            np.round(phi * RAD2DEG, LL_DECIMALS))
+
+
 # ----------------------------------------------------------- SQL mirror ---
 
 

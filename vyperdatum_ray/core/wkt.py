@@ -153,6 +153,13 @@ def projected_wkt(kind: str, zone: int) -> str:
         name = f"NAD83 / SPCS83 {STATE_PLANE_TM[zone].name}"
         conv = ('CONVERSION["SPCS83",'
                 'METHOD["Transverse Mercator"]]')
+    elif kind == "om":
+        from vyperdatum_ray.core.projection import STATE_PLANE_OM
+
+        epsg = zone
+        name = f"NAD83 / SPCS83 {STATE_PLANE_OM[zone].name}"
+        conv = ('CONVERSION["SPCS83",'
+                'METHOD["Hotine Oblique Mercator (variant A)"]]')
     else:
         raise ValueError(f"no projected WKT for kind {kind!r}")
     return (

@@ -46,8 +46,8 @@ def transform_points(
     y = np.asarray(y, dtype=np.float64)
     if input_crs is not None:
         from vyperdatum_ray.core.crs import parse_crs
-        from vyperdatum_ray.core.projection import (lcc_inverse, tm_inverse,
-                                                    utm_inverse)
+        from vyperdatum_ray.core.projection import (lcc_inverse, om_inverse,
+                                                    tm_inverse, utm_inverse)
 
         info = parse_crs(input_crs)
         if info.vertical != "ellipse":
@@ -58,6 +58,8 @@ def transform_points(
             x, y = lcc_inverse(x, y, info.zone)
         elif info.kind == "tm":
             x, y = tm_inverse(x, y, info.zone)
+        elif info.kind == "om":
+            x, y = om_inverse(x, y, info.zone)
     n = len(x)
     zin = np.zeros(n) if z is None else np.asarray(z, dtype=np.float64)
     nan_mask = np.isnan(x) | np.isnan(y)
