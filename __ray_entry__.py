@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": training.q_seq_pack,
         "quality_resample": training.q_quality_resample,
         "corpus_pipeline": training.q_corpus_pipeline,
+        "repetition_stats": textops.q_repetition_stats,
+        "domain_quality": textops.q_domain_quality,
+        "gopher_quality": textops.q_gopher_quality,
+        "seq_chunk": textops.q_seq_chunk,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
@@ -175,9 +179,13 @@ def oracle_sql() -> dict[str, str]:
                                                   SOURCE_CORR_ORACLE,
                                                   STRATIFIED_SAMPLE_ORACLE,
                                                   TFIDF_ORACLE,
+                                                  REPETITION_STATS_ORACLE,
+                                                  GOPHER_QUALITY_ORACLE,
+                                                  SEQ_CHUNK_ORACLE,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
+                                                  domain_quality_oracle_sql,
                                                   langid_oracle_sql,
                                                   lang_token_stats_oracle_sql)
     from vyperdatum_ray.pipelines.training import (QUALITY_RESAMPLE_ORACLE,
@@ -291,6 +299,10 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": SEQ_PACK_ORACLE,
         "quality_resample": QUALITY_RESAMPLE_ORACLE,
         "corpus_pipeline": corpus_pipeline_oracle_sql(),
+        "repetition_stats": REPETITION_STATS_ORACLE,
+        "domain_quality": domain_quality_oracle_sql(fx),
+        "gopher_quality": GOPHER_QUALITY_ORACLE,
+        "seq_chunk": SEQ_CHUNK_ORACLE,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id < 10), "

@@ -1998,3 +1998,241 @@ UNION ALL SELECT source, 'en', CAST(n_en AS BIGINT) FROM w
 UNION ALL SELECT source, 'es', CAST(n_es AS BIGINT) FROM w
 UNION ALL SELECT source, 'fr', CAST(n_fr AS BIGINT) FROM w
 UNION ALL SELECT source, 'zh', CAST(n_zh AS BIGINT) FROM w"""
+
+
+# ------------------------------------------------ Gopher-style filters ---
+#
+# Repetition and symbol-ratio signals from the published Gopher /
+# MassiveText filtering rules (Rae et al. 2021, table A1): fraction of
+# duplicate lines, fraction of characters in duplicate lines,
+# symbol-to-word ratios, bullet/ellipsis line ratios. All per-document
+# (no shuffle at all — each batch computes its rows independently) and
+# integer-exact (permille ratios via floor division) so the DuckDB
+# mirrors are bit-identical.
+
+
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document line-repetition stats: number of (non-empty) lines,
+    number of duplicate-occurrence lines (occurrences beyond each
+    line's first), and the permille of line characters sitting in those
+    duplicate occurrences — the Gopher 'duplicate line fraction'
+    signals, integer-exact."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines = pc.split_pattern(pc.coalesce(col, ""), "\n")
+        flat = pc.list_flatten(lines)
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(counts)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        txt = flat.to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ln > 0
+        doc_of, txt, ln = doc_of[keep], txt[keep], ln[keep]
+        df = pd.DataFrame({"d": doc_of, "t": txt, "ln": ln})
+        per_line = df.groupby(["d", "t"], as_index=False).agg(
+            c=("ln", "size"), ln=("ln", "first"))
+        per_line["dup_occ"] = per_line["c"] - 1
+        per_line["dup_chars"] = per_line["dup_occ"] * per_line["ln"]
+        per_line["tot_chars"] = per_line["c"] * per_line["ln"]
+        g = per_line.groupby("d").agg(
+            n_lines=("c", "sum"), n_dup_lines=("dup_occ", "sum"),
+            dup_chars=("dup_chars", "sum"), tot_chars=("tot_chars", "sum"))
+        n_lines = np.zeros(n, np.int64)
+        n_dup = np.zeros(n, np.int64)
+        dupc = np.zeros(n, np.int64)
+        totc = np.zeros(n, np.int64)
+        idx = g.index.to_numpy()
+        n_lines[idx] = g["n_lines"].to_numpy()
+        n_dup[idx] = g["n_dup_lines"].to_numpy()
+        dupc[idx] = g["dup_chars"].to_numpy()
+        totc[idx] = g["tot_chars"].to_numpy()
+        permille = np.where(totc > 0, (dupc * 1000) // np.maximum(totc, 1), 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "dup_char_permille": pa.array(permille, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+REPETITION_STATS_ORACLE = r"""
+WITH ln AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS t
+  FROM documents),
+nz AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS ln FROM ln WHERE length(t) > 0),
+per_line AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c, min(ln) AS ln
+  FROM nz GROUP BY doc_id, t),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_lines,
+    CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+    CAST(sum((c - 1) * ln) AS BIGINT) AS dup_chars,
+    CAST(sum(c * ln) AS BIGINT) AS tot_chars
+  FROM per_line GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(a.n_lines, 0) AS n_lines,
+  COALESCE(a.n_dup_lines, 0) AS n_dup_lines,
+  CAST(CASE WHEN COALESCE(a.tot_chars, 0) > 0
+            THEN (a.dup_chars * 1000) // a.tot_chars ELSE 0 END AS BIGINT)
+    AS dup_char_permille
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+_GOPHER_STOPWORDS = ("the", "and", "of", "to", "in")
+
+
+def q_gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-document Gopher symbol/structure signals: word count,
+    '#' and '...'-ellipsis symbol counts, bullet-prefixed and
+    ellipsis-terminated line counts, and a fixed-stopword hit count
+    (the 'contains 2 of 5 stopwords' rule's raw signal). Pure RE2
+    Arrow kernels, one stateless pass, integer outputs."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), "")
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_hash = pc.cast(pc.count_substring(text, "#"), pa.int64())
+        n_ellipsis = pc.cast(pc.count_substring(text, "..."), pa.int64())
+        n_bullet_lines = pc.cast(
+            pc.count_substring_regex(text, r"(?m)^[ \t]*[-*•]"), pa.int64())
+        n_stop = None
+        for w in _GOPHER_STOPWORDS:
+            c = pc.count_substring_regex(text, rf"(?i)\b{w}\b")
+            n_stop = c if n_stop is None else pc.add(n_stop, c)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": n_words,
+            "n_hash": n_hash,
+            "n_ellipsis": n_ellipsis,
+            "n_bullet_lines": n_bullet_lines,
+            "n_stopwords": pc.cast(n_stop, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+GOPHER_QUALITY_ORACLE = r"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_words,
+  CAST(length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '#', ''))
+       AS BIGINT) AS n_hash,
+  CAST(length(regexp_extract_all(COALESCE(text, ''), '\.\.\.')) AS BIGINT) AS n_ellipsis,
+  CAST(length(regexp_extract_all(COALESCE(text, ''), '(?m)^[ \t]*[-*•]'))
+       AS BIGINT) AS n_bullet_lines,
+  CAST(length(regexp_extract_all(COALESCE(text, ''), '(?i)\bthe\b'))
+     + length(regexp_extract_all(COALESCE(text, ''), '(?i)\band\b'))
+     + length(regexp_extract_all(COALESCE(text, ''), '(?i)\bof\b'))
+     + length(regexp_extract_all(COALESCE(text, ''), '(?i)\bto\b'))
+     + length(regexp_extract_all(COALESCE(text, ''), '(?i)\bin\b'))
+       AS BIGINT) AS n_stopwords
+FROM documents"""
+
+
+CHUNK_LEN = 512  # tokens per training chunk
+
+
+def q_seq_chunk(sf_dir: str, chunk_len: int = CHUNK_LEN) -> ray.data.Dataset:
+    """Per-document fixed-window chunking (the context-window splitter
+    that follows packing in a training pipeline): EXPLODE one row per
+    chunk_len-token window — (doc_id, chunk_id, chunk_tokens), the last
+    chunk carrying the remainder. Pure flat-map shape: each batch emits
+    its own chunk rows, no shuffle, no state; at 10^12 docs the output
+    is ~n_tokens/chunk_len rows, streamed straight to the consumer."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = pc.cast(pc.count_substring_regex(
+            pc.coalesce(batch.column("text"), ""), r"\S+"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n_chunks = -(-ntok // chunk_len)  # 0 chunks for empty docs
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        chunk_id = np.concatenate([np.arange(c, dtype=np.int64)
+                                   for c in n_chunks]) if len(ids) else \
+            np.zeros(0, np.int64)
+        rem = ntok[doc_of] - chunk_id * chunk_len
+        chunk_tokens = np.minimum(rem, chunk_len)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk_tokens": pa.array(chunk_tokens, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SEQ_CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok, unnest(range((n_tok + 511) // 512)) AS chunk_id
+  FROM t WHERE n_tok > 0)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(least(n_tok - chunk_id * 512, 512) AS BIGINT) AS chunk_tokens
+FROM c"""
+
+
+def q_domain_quality(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Per-domain corpus quality (the CCNet/RefinedWeb per-source
+    curation signal): for the top-k hosts by page count, the page count
+    and the mean quality weight in integer permille (floor of
+    sum_weight / n, exact). Per-batch partials carry (host, n, sum_w)
+    only — the shuffle never moves text — and the host table reduces
+    through one bounded groupby + distributed sort/limit."""
+    from vyperdatum_ray.fixtures import pages_paths
+    from vyperdatum_ray.pipelines.training import _quality_weight
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = _host_of(batch.column("url"))
+        w = _quality_weight(batch.column("text"))
+        df = pd.DataFrame({"host": hosts.to_numpy(zero_copy_only=False),
+                           "w": w})
+        g = df.groupby("host", as_index=False).agg(p_n=("w", "size"),
+                                                   p_w=("w", "sum"))
+        return pa.table({
+            "host": pa.array(g["host"].to_numpy(), pa.string()),
+            "p_n": pa.array(g["p_n"].to_numpy().astype(np.int64), pa.int64()),
+            "p_w": pa.array(g["p_w"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False)
+        w = batch.column("sum_w").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": batch.column("host"),
+            "n_pages": batch.column("n_pages"),
+            "mean_quality_permille": pa.array(w // np.maximum(n, 1), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Sum("p_n", alias_name="n_pages"),
+                      Sum("p_w", alias_name="sum_w"))
+           .sort(["n_pages", "host"], descending=[True, False]).limit(k))
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def domain_quality_oracle_sql(fx: str, k: int = 20) -> str:
+    from vyperdatum_ray.pipelines.training import _QUALITY_WEIGHT_SQL
+
+    return f"""
+WITH p AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+    CAST({_QUALITY_WEIGHT_SQL} AS BIGINT) AS w
+  FROM read_parquet('{fx}/pages/*.parquet')),
+g AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+    CAST(sum(w) AS BIGINT) AS sum_w
+  FROM p GROUP BY host)
+SELECT host, n_pages,
+  CAST(sum_w // greatest(n_pages, 1) AS BIGINT) AS mean_quality_permille
+FROM g ORDER BY n_pages DESC, host LIMIT {k}"""
