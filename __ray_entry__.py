@@ -35,6 +35,16 @@ def entry() -> Any:
     return q_flagship("/root/testdata/sf0.001")
 
 
+def _q_flagship_fused(sf_dir: str):
+    """Flagship as ONE fused actor stage (read->geocode->cells->PIP->
+    transform per shard, nothing between stages crosses the object
+    store) — the production-sink / scaling-bench shape; rows-only (the
+    text-carrying q_flagship keeps the M12 passthrough contract)."""
+    from vyperdatum_ray.pipelines.flagship import flagship_fused
+
+    return flagship_fused(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from vyperdatum_ray.pipelines import (ann, multimodal, queries as q, raster,
                                           relational, textops, training)
@@ -150,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only queries (engine-defined outputs: cell math,
         # sketches, approximate indexes, deterministic decode fakes) ---
         "flagship": q.q_flagship,
+        "flagship_fused": _q_flagship_fused,
         "cell_index": q.q_cell_index,
         "simhash": textops.q_simhash,
         "fingerprint": textops.q_fingerprint,

@@ -184,3 +184,20 @@ def test_seventy_region_catalog_pip_and_transform(ray_session):
         RegionJoiner(catalog_ref=Catalog(
             regions=many, grids=grids, sigmas=sigmas,
             geoid_sigmas=dict(base_cat.geoid_sigmas), version="pad128"))
+
+
+def test_fused_flagship_matches_unfused(ray_session):
+    """The single-actor fused flagship (read->geocode->cells->PIP->
+    transform per shard, the production-sink / scaling shape) must be
+    row-identical to the staged pipeline on every shared column."""
+    import pandas as pd
+
+    from vyperdatum_ray.pipelines.flagship import flagship_fused, flagship_pipeline
+
+    f1 = (flagship_pipeline(SF).to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    f2 = (flagship_fused(SF).to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    common = [c for c in f2.columns if c in f1.columns]
+    assert {"url", "z_out", "unc", "region_index", "tile_id"} <= set(common)
+    pd.testing.assert_frame_equal(f1[common], f2[common])

@@ -203,3 +203,82 @@ def flagship_pipeline(
         num_cpus=1,
     )
     return ds
+
+
+class FusedReadTransform:
+    """The WHOLE flagship per input shard in ONE actor call: parquet
+    read -> geocode -> cell index -> PIP join -> datum transform,
+    emitting only the slim transformed stream. NOTHING crosses the
+    object store between stages — not even the (url, lat, lon) slim
+    stream that the geocode_in_read shape still ships from read tasks
+    into the transform actor pool.
+
+    Measured on this box (BASELINE.md round 4): vs the read-task ->
+    actor-pool shape, 16.4M -> 26.8M rows/s at 32 CPUs, 6.7M -> 13.4M
+    at 8, 2.6-3.9M -> 5.3M at 4 (repeat=256 saturation runs) — the
+    ~16M rows/s '32-CPU wall' was the task->actor store boundary, not
+    parse compute. This is the production sink shape
+    (state/lineage.py) and the scaling-bench shape; the text-carrying
+    flagship query keeps the unfused chain because its OUTPUT is the
+    text (M12 passthrough).
+
+    ``inner`` replicates each shard's transformed rows in-place (the
+    scaling bench's honest-extra-work knob; 1 in production)."""
+
+    def __init__(self, catalog_ref, from_datum="ellipse", to_datum="mllw",
+                 in_is_height=True, out_is_height=False,
+                 include_paths=False, inner=1):
+        self.jt = JoinTransform(
+            catalog_ref=catalog_ref, from_datum=from_datum, to_datum=to_datum,
+            in_is_height=in_is_height, out_is_height=out_is_height,
+        )
+        self.include_paths = include_paths
+        self.inner = inner
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for p in batch.column("path").to_pylist():
+            t = pq.read_table(p, columns=["url", "text"])
+            base = keep_geocoded(geocode_batch(t)).select(["url", "lat", "lon"])
+            # replication happens BEFORE the transform so every emitted
+            # row carries full cell-index + PIP + transform work (the
+            # read/geocode amortization matches the old scaling shape;
+            # replicating the TRANSFORMED table would make the inner
+            # copies zero-cost metadata and fake the throughput)
+            for _ in range(self.inner):
+                g = self.jt(cell_index_batch(base))
+                if self.include_paths:
+                    g = g.append_column(
+                        "path", pa.array([p] * g.num_rows, pa.string()))
+                outs.append(g)
+        return pa.concat_tables(outs)
+
+
+def flagship_fused(
+    sf_dir: str,
+    catalog: Catalog | None = None,
+    paths: list[str] | None = None,
+    include_paths: bool = False,
+    inner: int = 1,
+    from_datum: str = "ellipse",
+    to_datum: str = "mllw",
+) -> ray.data.Dataset:
+    """Flagship as a single fused actor-pool stage over shard paths —
+    see FusedReadTransform. One ~90%-CPU pool, one path row per task."""
+    catalog = catalog or load_catalog(sf_dir)
+    catalog_ref = ray.put(catalog)
+    files = sorted(paths or pages_paths(sf_dir))
+    items = [{"path": p} for p in files]
+    pds = ray.data.from_items(items, override_num_blocks=len(items))
+    return pds.map_batches(
+        FusedReadTransform,
+        fn_constructor_kwargs={
+            "catalog_ref": catalog_ref, "from_datum": from_datum,
+            "to_datum": to_datum, "include_paths": include_paths,
+            "inner": inner,
+        },
+        batch_format="pyarrow", batch_size=1,
+        concurrency=_pool_size(), num_cpus=1,
+    )

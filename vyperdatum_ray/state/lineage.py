@@ -153,7 +153,7 @@ def run_flagship_checkpointed(
     Call again after a failure (or after new input shards appear) and it
     processes only the pending shards.
     """
-    from vyperdatum_ray.pipelines.flagship import flagship_pipeline, load_catalog
+    from vyperdatum_ray.pipelines.flagship import flagship_fused, load_catalog
     from vyperdatum_ray.fixtures import pages_paths
 
     t0 = time.perf_counter()
@@ -191,13 +191,13 @@ def run_flagship_checkpointed(
             "shard", pa.array(shards, pa.string())
         )
 
-    # geocode_in_read: the sink schema below has no text column, so the
-    # page text is parsed inside the read task and never enters the
-    # object store (2x flagship throughput at 8 CPUs — BASELINE.md
-    # round-3 bandwidth analysis)
-    ds = flagship_pipeline(sf_dir, batch_size=batch_size, catalog=catalog,
-                           paths=pending, include_paths=True,
-                           geocode_in_read=True)
+    # fully-fused shard tasks: read -> geocode -> cells -> PIP ->
+    # transform in ONE actor call per shard, so neither page text NOR
+    # the slim geocoded stream ever crosses the object store (round-4
+    # measurement: 16.4M -> 26.8M rows/s at 32 CPUs vs the
+    # geocode-in-read + separate transform-pool shape; BASELINE.md)
+    ds = flagship_fused(sf_dir, catalog=catalog, paths=pending,
+                        include_paths=True)
     ds = ds.map_batches(tag_shard, batch_format="pyarrow")
     ds = ds.select_columns(
         ["shard", "url", "lat", "lon", "h3_9", "s2_13", "tile_id",
