@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pipeline": training.q_corpus_pipeline,
         "repetition_stats": textops.q_repetition_stats,
         "domain_quality": textops.q_domain_quality,
+        "url_dedup": textops.q_url_dedup,
         "gopher_quality": textops.q_gopher_quality,
         "seq_chunk": textops.q_seq_chunk,
         # Tail of the oracle-backed block: entries whose semantics are
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann.q_ann_ivf,
         "neardup_embedding_lsh": ann.q_neardup_embedding_lsh,
         "kmeans_embeddings": ann.q_kmeans_embeddings,
+        "pca_embeddings": ann.q_pca_embeddings,
         "image_neardup": multimodal.q_image_neardup,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "frame_sample": multimodal.q_frame_sample,
@@ -197,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
                                                   domain_quality_oracle_sql,
+                                                  url_dedup_oracle_sql,
                                                   langid_oracle_sql,
                                                   lang_token_stats_oracle_sql)
     from vyperdatum_ray.pipelines.training import (QUALITY_RESAMPLE_ORACLE,
@@ -312,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": corpus_pipeline_oracle_sql(),
         "repetition_stats": REPETITION_STATS_ORACLE,
         "domain_quality": domain_quality_oracle_sql(fx),
+        "url_dedup": url_dedup_oracle_sql(fx),
         "gopher_quality": GOPHER_QUALITY_ORACLE,
         "seq_chunk": SEQ_CHUNK_ORACLE,
         "ann_topk": (

@@ -406,3 +406,35 @@ def test_kmeans_matches_single_process_lloyd(ray_session):
     # more Lloyd iterations never increase inertia
     one = q_kmeans_embeddings(SF, k=16, iters=1).to_pandas()
     assert out["dist2"].sum() <= one["dist2"].sum() + 1e-9
+
+
+def test_pca_embeddings_matches_numpy(ray_session):
+    """Distributed Gram-partial PCA must equal single-process numpy PCA
+    exactly (same eigendecomposition, same sign convention)."""
+    import numpy.linalg as la
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.ann import PCA_K, q_pca_embeddings
+
+    out = (q_pca_embeddings(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mu = mat.mean(0)
+    cov = np.cov(mat, rowvar=False)
+    w, v = la.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:PCA_K]].T
+    for j in range(PCA_K):
+        i = np.argmax(np.abs(comps[j]))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    proj = (mat - mu) @ comps.T
+    assert (out["vec_id"].to_numpy() == t["vec_id"].to_numpy()).all()
+    for j in range(PCA_K):
+        np.testing.assert_allclose(out[f"pc{j}"].to_numpy(), proj[:, j],
+                                   rtol=0, atol=1e-8)
+    # components are orthonormal and variance-ordered
+    g = comps @ comps.T
+    np.testing.assert_allclose(g, np.eye(PCA_K), atol=1e-10)
+    var = proj.var(axis=0)
+    assert (np.diff(var) <= 1e-9).all()

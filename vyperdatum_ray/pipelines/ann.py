@@ -718,3 +718,73 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
         })
 
     return _emb(sf_dir).map_batches(assign_final, batch_format="pyarrow")
+
+
+PCA_K = 4
+
+
+def q_pca_embeddings(sf_dir: str, k: int = PCA_K) -> ray.data.Dataset:
+    """Distributed PCA over the full embeddings table (the dimension
+    reducer feeding visualization / clustering / whitening stages):
+    one streaming pass collects fixed-width Gram partials
+    (sum x, sum x x^T, n — dim + dim^2 + 1 doubles per block) merged
+    through the same fan-in-8 tree of raw Ray tasks as k-means; the
+    driver eigendecomposes the (dim x dim) covariance — 64 x 64, a
+    constant — and broadcasts the top-k components; a second pass
+    projects every vector. Nothing corpus-sized materializes; the
+    driver holds O(dim^2) regardless of corpus size. Deterministic:
+    each component's sign is fixed so its max-|coefficient| entry is
+    positive. Rows-only (eigendecomposition isn't SQL); tests assert
+    exact agreement with single-process numpy PCA."""
+    import numpy.linalg as la
+
+    sample = _emb(sf_dir).limit(4).to_pandas()
+    dim = len(sample["embedding"].iloc[0])
+    width = dim + dim * dim + 1
+
+    @ray.remote
+    def _merge(*tabs):
+        acc = np.zeros(width, np.float64)
+        for tb in tabs:
+            arr = tb.column("m").to_numpy(zero_copy_only=False)
+            acc += arr.reshape(-1, width).sum(0)
+        return pa.table({"m": pa.array(acc, pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        _ids, mat = _batch_to_matrix(t)
+        flat = np.concatenate([
+            mat.sum(0), (mat.T @ mat).ravel(),
+            np.array([len(mat)], np.float64),
+        ])
+        return pa.table({"m": pa.array(flat, pa.float64())})
+
+    refs = list(_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs())
+    while len(refs) > 1:
+        refs = [_merge.remote(*refs[i:i + 8]) for i in range(0, len(refs), 8)]
+    stats = ray.get(refs[0]).column("m").to_numpy(zero_copy_only=False)
+    s1 = stats[:dim]
+    s2 = stats[dim:dim + dim * dim].reshape(dim, dim)
+    n = stats[-1]
+    mu = s1 / n
+    cov = (s2 - n * np.outer(mu, mu)) / max(n - 1.0, 1.0)
+    w, v = la.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    # deterministic sign: the max-|coeff| entry of each component > 0
+    for j in range(len(comps)):
+        i = np.argmax(np.abs(comps[j]))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    pref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(pref)
+        ids, mat = _batch_to_matrix(t)
+        proj = (mat - m) @ c.T
+        cols = {"vec_id": pa.array(ids.astype(np.int64), pa.int64())}
+        for j in range(c.shape[0]):
+            cols[f"pc{j}"] = pa.array(proj[:, j], pa.float64())
+        return pa.table(cols)
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow")

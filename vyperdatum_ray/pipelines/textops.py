@@ -2236,3 +2236,55 @@ g AS (
 SELECT host, n_pages,
   CAST(sum_w // greatest(n_pages, 1) AS BIGINT) AS mean_quality_permille
 FROM g ORDER BY n_pages DESC, host LIMIT {k}"""
+
+
+def _canonical_urls(url_col) -> np.ndarray:
+    """Lowercased scheme://host + path, query string and fragment
+    stripped — the URL canonicalization step of web-corpus dedup."""
+    s = pd.Series(url_col.to_numpy(zero_copy_only=False))
+    s = s.str.replace(r"[?#].*$", "", regex=True)
+    m = s.str.extract(r"^(https?://[^/]*)(.*)$")
+    return (m[0].str.lower().fillna(s) + m[1].fillna("")).to_numpy()
+
+
+def q_url_dedup(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
+    """Dedup pages by CANONICAL url (lowercased scheme+host, query and
+    fragment stripped): one row per canonical url with the min raw url
+    and the variant count. Same bounded-salt discipline as dedup_exact:
+    the shuffle key is a 2^salt_bits hash prefix of the canonical url;
+    the exact per-canonical reduction happens vectorized inside each
+    salt group."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        canon = _canonical_urls(batch.column("url"))
+        h = _hash_utf8_fast(pa.array(canon, pa.string()))
+        return pa.table({
+            "url": batch.column("url"),
+            "url_canonical": pa.array(canon, pa.string()),
+            "salt": pa.array(h >> np.uint64(64 - salt_bits), pa.uint64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url_canonical", as_index=False).agg(
+            url=("url", "min"), n_variants=("url", "size"))
+        return g[["url_canonical", "url", "n_variants"]]
+
+    from vyperdatum_ray.fixtures import pages_paths
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url"])
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("salt").map_groups(reduce_group, batch_format="pandas")
+
+
+def url_dedup_oracle_sql(fx: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT url,
+    lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+                         '^(https?://[^/]*)', 1))
+    || regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                      '^https?://[^/]*', '') AS url_canonical
+  FROM read_parquet('{fx}/pages/*.parquet'))
+SELECT url_canonical, min(url) AS url,
+  CAST(count(*) AS BIGINT) AS n_variants
+FROM c GROUP BY url_canonical"""
