@@ -194,7 +194,7 @@ def oracle_sql() -> dict[str, str]:
                                                   TFIDF_ORACLE,
                                                   REPETITION_STATS_ORACLE,
                                                   GOPHER_QUALITY_ORACLE,
-                                                  SEQ_CHUNK_ORACLE,
+                                                  seq_chunk_oracle_sql,
                                                   TOKEN_DEDUP_ORACLE,
                                                   TOKEN_PERCENTILES_ORACLE,
                                                   UNIGRAM_LOGPROB_ORACLE,
@@ -317,7 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": domain_quality_oracle_sql(fx),
         "url_dedup": url_dedup_oracle_sql(fx),
         "gopher_quality": GOPHER_QUALITY_ORACLE,
-        "seq_chunk": SEQ_CHUNK_ORACLE,
+        "seq_chunk": seq_chunk_oracle_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
             "FROM embeddings WHERE vec_id < 10), "

@@ -19,7 +19,6 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--batch-size", type=int, default=16384)
     args = ap.parse_args()
 
     import ray
@@ -33,7 +32,7 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     from vyperdatum_ray.state.lineage import run_flagship_checkpointed
 
-    metrics = run_flagship_checkpointed(args.sf_dir, args.out, batch_size=args.batch_size)
+    metrics = run_flagship_checkpointed(args.sf_dir, args.out)
     print(json.dumps(metrics))
     ray.shutdown()
     return 0

@@ -167,6 +167,18 @@ def test_manifest_written_and_grid_change_invalidates_exactly(first_run):
     recs = completed_shards(out, cat.version)
     assert recs and all("region_set" in r for r in recs.values())
 
+    # The real shards all touch every region (the fixture's points are
+    # spread), which would make the "kept" branch vacuous — inject a
+    # synthetic committed record whose region_set AVOIDS the victim so
+    # the disjoint-shard path is actually exercised.
+    from vyperdatum_ray.state.lineage import _commit_record
+
+    fake = {**next(iter(recs.values())), "shard": "part-9999",
+            "input_file": "synthetic", "region_set": ["SYNcoastA_8301"]}
+    _commit_record(out, fake)
+    recs = completed_shards(out, cat.version)
+    assert "part-9999" in recs
+
     # perturb ONE region's grid values -> a new catalog "version"
     victim = "SYNcoastB_8301"
     cat2 = copy.deepcopy(cat)
@@ -175,17 +187,27 @@ def test_manifest_written_and_grid_change_invalidates_exactly(first_run):
 
     done2 = completed_shards(out, cat2.version, catalog=cat2)
     expect_done = {s for s, r in recs.items() if victim not in r["region_set"]}
+    assert "part-9999" in expect_done  # the kept branch is non-vacuous
     assert set(done2) == expect_done  # exactly the untouched shards
 
     # resuming with the perturbed catalog re-runs exactly the affected
-    # shards and re-stamps the manifest at the new version
+    # real shards and re-stamps the manifest at the new version
+    real_done = {s for s in expect_done if s != "part-9999"}
     m2 = run_flagship_checkpointed(SF, out, catalog=cat2)
-    assert m2["n_shards_run"] == metrics["n_shards_total"] - len(expect_done)
-    assert m2["n_shards_skipped"] == len(expect_done)
+    assert m2["n_shards_run"] == metrics["n_shards_total"] - len(real_done)
+    assert m2["n_shards_skipped"] == len(real_done)
     assert load_catalog_manifest(out)["catalog_version"] == "vNext"
+    # kept old-version records were RE-STAMPED to vNext: without that,
+    # the next routine resume would silently recompute everything the
+    # fine-grained rule just saved (the manifest now says vNext)
+    kept = completed_shards(out, "vNext")
+    assert "part-9999" in kept
+    assert kept["part-9999"]["transform_version"] == "vNext"
     # and a further no-op resume skips everything again
     m3 = run_flagship_checkpointed(SF, out, catalog=cat2)
     assert m3["n_shards_run"] == 0
+
+    os.remove(os.path.join(out, "_lineage", "part-9999.json"))
 
     # STRUCTURE change: renaming a region invalidates ALL records
     import dataclasses

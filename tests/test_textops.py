@@ -198,17 +198,18 @@ def test_dedup_clusters_distributed_path_matches_driver(ray_session):
 
 def test_lp_components_dense_graph(ray_session):
     """Distributed min-label propagation on a dense synthetic dup graph
-    (a 40-clique, an 8-chain — multi-round diameter — and a star)
-    converges to the exact per-component min label. Rounds scale with
-    component diameter (each round costs two exchanges), so the chain
-    is kept short; real near-dup graphs are near-cliques."""
+    (a 40-clique, a 100-link chain and a star) converges to the exact
+    per-component min label. The 100-chain's diameter EXCEEDS
+    LP_MAX_ROUNDS=64: hash-to-min shortcut edges (labels double as
+    links) must give O(log diameter) rounds, or template-drift chains
+    would crash the past-the-cap dedup path."""
     import pyarrow as pa
     import ray.data
     from vyperdatum_ray.pipelines.ann import _lp_components
 
     clique = [(a, b) for a in range(100, 140) for b in range(a + 1, 140)]
-    chain = [(i, i + 1) for i in range(200, 208)]
-    star = [(300, k) for k in range(301, 320)]
+    chain = [(i, i + 1) for i in range(200, 300)]
+    star = [(400, k) for k in range(401, 420)]
     edges = clique + chain + star
     pairs = ray.data.from_arrow(pa.table({
         "vec_id_a": pa.array([a for a, _ in edges], pa.int64()),
@@ -217,10 +218,10 @@ def test_lp_components_dense_graph(ray_session):
     out = _lp_components(pairs).to_pandas().set_index("node")["label"]
     for n in range(100, 140):
         assert out[n] == 100
-    for n in range(200, 209):
+    for n in range(200, 301):
         assert out[n] == 200
-    for n in range(300, 320):
-        assert out[n] == 300
+    for n in range(400, 420):
+        assert out[n] == 400
 
 
 def test_shingle_batch_matches_per_doc():

@@ -364,11 +364,26 @@ def _lp_components(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
         def tag_label_rows(t: pa.Table) -> pa.Table:
             n = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
             lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            # kind-0: the node's current label (for message lookup).
+            # kind-1 pairs node<->label where they differ: hash-to-min
+            # SHORTCUT edges — labels double as links, so label
+            # information hops along them and convergence is
+            # O(log diameter) rounds instead of O(diameter) (a 64-round
+            # cap would otherwise crash on 65+-link template-drift
+            # chains, the exact regime this past-the-cap path exists
+            # for). Label and node are always in the same component, so
+            # the shortcuts never merge separate components.
+            nz = lab != n
+            sn, sl = n[nz], lab[nz]
+            key = np.concatenate([n, sn, sl])
+            val = np.concatenate([lab, sl, sn])
+            kind = np.concatenate([
+                np.zeros(len(n), np.int8), np.ones(2 * len(sn), np.int8)])
             return pa.table({
-                "key": pa.array(n, pa.int64()),
-                "val": pa.array(lab, pa.int64()),
-                "kind": pa.array(np.zeros(len(n), np.int8), pa.int8()),
-                "salt": _lp_salt_of(n),
+                "key": pa.array(key, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "salt": _lp_salt_of(key),
             })
 
         u = edges.union(labels.map_batches(tag_label_rows, batch_format="pyarrow"))

@@ -1177,7 +1177,11 @@ def _host_of(url_col) -> pa.Array:
     res = pc.extract_regex(pc.coalesce(url_col, ""), r"https?://(?P<h>[^/]+)/")
     if isinstance(res, pa.ChunkedArray):
         res = res.combine_chunks()
-    return res.field("h")
+    # no-match -> '' (DuckDB regexp_extract semantics), never null: a
+    # null host would be silently DROPPED by pandas groupby in the
+    # domain aggregate while the oracle groups it under '' (latent
+    # divergence on slashless URLs like 'https://example.com')
+    return pc.fill_null(res.field("h"), "")
 
 
 def q_distinct_hosts(sf_dir: str) -> pd.DataFrame:
@@ -2167,16 +2171,21 @@ def q_seq_chunk(sf_dir: str, chunk_len: int = CHUNK_LEN) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-SEQ_CHUNK_ORACLE = r"""
+def seq_chunk_oracle_sql(chunk_len: int = CHUNK_LEN) -> str:
+    """Mirror of q_seq_chunk with the SAME chunk_len constant
+    interpolated (a hardcoded literal would silently decouple the
+    oracle from the engine default)."""
+    return rf"""
 WITH t AS (
   SELECT doc_id,
     CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tok
   FROM documents),
 c AS (
-  SELECT doc_id, n_tok, unnest(range((n_tok + 511) // 512)) AS chunk_id
+  SELECT doc_id, n_tok,
+    unnest(range((n_tok + {chunk_len - 1}) // {chunk_len})) AS chunk_id
   FROM t WHERE n_tok > 0)
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-  CAST(least(n_tok - chunk_id * 512, 512) AS BIGINT) AS chunk_tokens
+  CAST(least(n_tok - chunk_id * {chunk_len}, {chunk_len}) AS BIGINT) AS chunk_tokens
 FROM c"""
 
 

@@ -145,7 +145,6 @@ def _commit_record(out_dir: str, rec: dict) -> None:
 def run_flagship_checkpointed(
     sf_dir: str,
     out_dir: str,
-    batch_size: int = 16384,
     catalog=None,
 ) -> dict:
     """Run the flagship pipeline shard-resumably; returns run metrics.
@@ -163,6 +162,15 @@ def run_flagship_checkpointed(
 
     all_paths = sorted(pages_paths(sf_dir))
     done = completed_shards(out_dir, version, catalog=catalog)
+    # Re-stamp kept records that survived a FINE-GRAINED version check
+    # (their region_set avoided every changed grid) to the CURRENT
+    # version: the run ends by overwriting the manifest's
+    # catalog_version, so an un-restamped old-version record would fall
+    # out of `done` on the NEXT routine resume — a silent full-corpus
+    # recompute right after the feature saved one.
+    for rec in done.values():
+        if rec.get("transform_version") != version:
+            _commit_record(out_dir, {**rec, "transform_version": version})
     pending = [p for p in all_paths if _shard_of(p) not in done]
     metrics = {
         "n_shards_total": len(all_paths),
