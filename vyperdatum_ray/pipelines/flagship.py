@@ -264,6 +264,8 @@ def flagship_fused(
     inner: int = 1,
     from_datum: str = "ellipse",
     to_datum: str = "mllw",
+    in_is_height: bool = True,
+    out_is_height: bool = False,
 ) -> ray.data.Dataset:
     """Flagship as a single fused actor-pool stage over shard paths —
     see FusedReadTransform. One ~90%-CPU pool, one path row per task."""
@@ -276,8 +278,9 @@ def flagship_fused(
         FusedReadTransform,
         fn_constructor_kwargs={
             "catalog_ref": catalog_ref, "from_datum": from_datum,
-            "to_datum": to_datum, "include_paths": include_paths,
-            "inner": inner,
+            "to_datum": to_datum, "in_is_height": in_is_height,
+            "out_is_height": out_is_height,
+            "include_paths": include_paths, "inner": inner,
         },
         batch_format="pyarrow", batch_size=1,
         concurrency=_pool_size(), num_cpus=1,

@@ -15,6 +15,7 @@ import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
 from vyperdatum_ray.pipelines.flagship import (
+    flagship_fused,
     flagship_pipeline,
     geocoded_pages,
     load_catalog,
@@ -142,7 +143,9 @@ def q_region_counts(sf_dir: str) -> ray.data.Dataset:
 def q_datum_transform(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
 
-    ds = flagship_pipeline(sf_dir)
+    # fused single-actor shape: this query's output never carries text,
+    # so nothing needs to cross the object store between stages
+    ds = flagship_fused(sf_dir)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
@@ -393,7 +396,7 @@ def q_transform_summary(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = flagship_fused(sf_dir).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby("region").aggregate(
         Sum("partial_n", alias_name="n_points"),
         Sum("partial_z", alias_name="sum_z_raw"),
@@ -420,7 +423,7 @@ def q_datum_transform_inv(sf_dir: str) -> ray.data.Dataset:
     (reference pipeline.py:145-168, test_vypercrs.py:73-88)."""
     import pyarrow.compute as pc
 
-    ds = flagship_pipeline(
+    ds = flagship_fused(
         sf_dir, from_datum="mllw", to_datum="ellipse",
         in_is_height=False, out_is_height=True,
     )
@@ -437,7 +440,7 @@ def q_datum_transform_navd88(sf_dir: str) -> ray.data.Dataset:
     tss-inverse + mllw-forward; no geoid sigma in the uncertainty."""
     import pyarrow.compute as pc
 
-    ds = flagship_pipeline(sf_dir, from_datum="navd88", to_datum="mllw")
+    ds = flagship_fused(sf_dir, from_datum="navd88", to_datum="mllw")
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
@@ -450,7 +453,7 @@ def q_datum_transform_mhw(sf_dir: str) -> ray.data.Dataset:
     shape as mllw but the mhw surface and mhw sigma."""
     import pyarrow.compute as pc
 
-    ds = flagship_pipeline(sf_dir, to_datum="mhw")
+    ds = flagship_fused(sf_dir, to_datum="mhw")
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
@@ -654,7 +657,7 @@ def export_points_csv(sf_dir: str, out_dir: str) -> str:
     covered points — one file per block, resumable per part."""
     import pyarrow.compute as pc
 
-    ds = flagship_pipeline(sf_dir)
+    ds = flagship_fused(sf_dir)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
@@ -763,7 +766,7 @@ def q_gridded_points(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = flagship_fused(sf_dir).map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["row", "col"]).aggregate(
         Sum("p_n", alias_name="n_points"), Sum("p_z", alias_name="r_z")
     )
