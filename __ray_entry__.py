@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.q_repetition_stats,
         "domain_quality": textops.q_domain_quality,
         "url_dedup": textops.q_url_dedup,
+        "spatial_order": q.q_spatial_order,
         "gopher_quality": textops.q_gopher_quality,
         "seq_chunk": textops.q_seq_chunk,
         # Tail of the oracle-backed block: entries whose semantics are
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": REPETITION_STATS_ORACLE,
         "domain_quality": domain_quality_oracle_sql(fx),
         "url_dedup": url_dedup_oracle_sql(fx),
+        "spatial_order": oracle.q_spatial_order(fx),
         "gopher_quality": GOPHER_QUALITY_ORACLE,
         "seq_chunk": seq_chunk_oracle_sql(),
         "ann_topk": (

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "region_counts",
     "transform_summary",
     "sampled_transform",
+    "spatial_order",
     "datum_transform_itrf",
     "transform_projected",
     "raster_transform",

@@ -848,3 +848,22 @@ SELECT g.url,
   CAST(LEAST(GREATEST(round_even((g.lon - gm.origin_x) / gm.dx, 0), 0), gm.nx - 1) AS BIGINT) AS node_ix,
   CAST(LEAST(GREATEST(round_even((g.lat - gm.origin_y) / gm.dy, 0), 0), gm.ny - 1) AS BIGINT) AS node_iy
 FROM geo g CROSS JOIN gmeta gm"""
+
+
+def q_spatial_order(fx: str) -> str:
+    """Mirror of queries.q_spatial_order: same morton bit-interleave
+    (pure integer ops after one float floor whose expression tree
+    matches numpy exactly) and a window row_number for the global
+    (morton, url) rank."""
+    terms = " | ".join(
+        f"(((vx >> {b}) & 1) << {2 * b}) | (((vy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16))
+    return f"""WITH {_geo_cte(fx)},
+m0 AS (SELECT url,
+  CAST(least(greatest(floor((lon - (-77.0)) / 5.0 * 65536.0), 0.0), 65535.0) AS BIGINT) AS vx,
+  CAST(least(greatest(floor((lat - 33.0) / 5.0 * 65536.0), 0.0), 65535.0) AS BIGINT) AS vy
+  FROM geo),
+m1 AS (SELECT url, {terms} AS morton FROM m0)
+SELECT url, morton,
+  CAST(row_number() OVER (ORDER BY morton, url) - 1 AS BIGINT) AS rank
+FROM m1"""

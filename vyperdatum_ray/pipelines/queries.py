@@ -782,3 +782,82 @@ def q_gridded_points(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# Morton (z-order) spatial ordering: 16 bits per axis over the fixture
+# area, interleaved to a 32-bit code. Writing tiles in this order gives
+# range scans spatial locality (the classic space-filling-curve layout
+# for geo parquet); the GLOBAL rank is assigned distributed with the
+# same bounded prefix-sum discipline as training.q_seq_pack.
+_MORTON_X0, _MORTON_Y0 = -77.0, 33.0
+_MORTON_SPAN = 5.0  # degrees covered by the 16-bit axis
+_MORTON_SHARD_BITS = 22  # shard = morton >> 22 -> 1024 driver offsets
+
+
+def _morton_codes(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    ix = np.clip(np.floor((lon - _MORTON_X0) / _MORTON_SPAN * 65536.0),
+                 0, 65535).astype(np.int64)
+    iy = np.clip(np.floor((lat - _MORTON_Y0) / _MORTON_SPAN * 65536.0),
+                 0, 65535).astype(np.int64)
+    code = np.zeros(len(ix), np.int64)
+    for b in range(16):
+        code |= ((ix >> b) & 1) << (2 * b)
+        code |= ((iy >> b) & 1) << (2 * b + 1)
+    return code
+
+
+def q_spatial_order(sf_dir: str) -> ray.data.Dataset:
+    """Global z-order rank per geocoded page: (url, morton, rank) where
+    rank is the row's position in the corpus-wide (morton, url)
+    ordering — the write-order index a spatially-clustered sink needs.
+    Distributed order-index assignment without materializing a global
+    sort result: (1) per-batch partial counts per 1024-way morton-prefix
+    shard, groupby-sum, driver cumsum (1024 offsets — constant at any
+    corpus size); (2) docs stream through a bounded-salt groupby
+    (shard), each group sorts its own rows by (morton, url) and adds
+    its shard's global base — shard boundaries align with the code
+    prefix, so local order + base = exact global rank."""
+    from vyperdatum_ray.fixtures import pages_paths
+    from vyperdatum_ray.stages.geocode import geocode_batch, keep_geocoded
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = keep_geocoded(geocode_batch(t))
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        code = _morton_codes(lon, lat)
+        return pa.table({
+            "url": g.column("url"),
+            "morton": pa.array(code, pa.int64()),
+            "shard": pa.array(code >> _MORTON_SHARD_BITS, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def shard_partial(t: pa.Table) -> pa.Table:
+        us, cnt = np.unique(
+            t.column("shard").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"shard": pa.array(us, pa.int64()),
+                         "p_n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    totals = (prepped.map_batches(shard_partial, batch_format="pyarrow")
+              .groupby("shard").aggregate(Sum("p_n", alias_name="n"))
+              .to_pandas().sort_values("shard"))
+    shards = totals["shard"].to_numpy()
+    offs = np.concatenate([[0], np.cumsum(totals["n"].to_numpy())[:-1]]) \
+        .astype(np.int64)
+    off_ref = ray.put((shards, offs))
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        g_shards, g_offs = ray.get(off_ref)
+        df = df.sort_values(["morton", "url"]).reset_index(drop=True)
+        sh = df["shard"].to_numpy()
+        # shard is nondecreasing after the morton sort (it is a prefix)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(sh) != 0) + 1])
+        seg_len = np.diff(np.concatenate([starts, [len(sh)]]))
+        local = np.arange(len(sh), dtype=np.int64) - np.repeat(starts, seg_len)
+        base = g_offs[np.searchsorted(g_shards, sh)]
+        return pd.DataFrame({"url": df["url"], "morton": df["morton"],
+                             "rank": base + local})
+
+    return prepped.groupby("shard").map_groups(rank_group, batch_format="pandas")
