@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality": textops.q_domain_quality,
         "url_dedup": textops.q_url_dedup,
         "spatial_order": q.q_spatial_order,
+        "token_count_bpe": textops.q_token_count_bpe,
         "gopher_quality": textops.q_gopher_quality,
         "seq_chunk": textops.q_seq_chunk,
         # Tail of the oracle-backed block: entries whose semantics are
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
                                                   STRATIFIED_SAMPLE_ORACLE,
                                                   TFIDF_ORACLE,
                                                   REPETITION_STATS_ORACLE,
+                                                  TOKEN_COUNT_BPE_ORACLE,
                                                   GOPHER_QUALITY_ORACLE,
                                                   seq_chunk_oracle_sql,
                                                   TOKEN_DEDUP_ORACLE,
@@ -318,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality": domain_quality_oracle_sql(fx),
         "url_dedup": url_dedup_oracle_sql(fx),
         "spatial_order": oracle.q_spatial_order(fx),
+        "token_count_bpe": TOKEN_COUNT_BPE_ORACLE,
         "gopher_quality": GOPHER_QUALITY_ORACLE,
         "seq_chunk": seq_chunk_oracle_sql(),
         "ann_topk": (

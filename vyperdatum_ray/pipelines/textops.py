@@ -2297,3 +2297,38 @@ WITH c AS (
 SELECT url_canonical, min(url) AS url,
   CAST(count(*) AS BIGINT) AS n_variants
 FROM c GROUP BY url_canonical"""
+
+
+# GPT-2-style pretokenizer (the public BPE pre-split regex family:
+# contraction suffixes, letter runs, digit runs, punctuation runs,
+# whitespace) — RE2-compatible, identical in Arrow and DuckDB.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def q_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Token counting under a BPE-ish pretokenizer alongside the plain
+    whitespace count — the pair every training-budget estimate needs
+    (whitespace words vs model tokens). One stateless vectorized pass;
+    both counts are exact RE2 match counts mirrored in the oracle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(batch.column("text"), "")
+        ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(text, BPE_PRETOKEN_PATTERN),
+                      pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens_ws": ws, "n_tokens_bpe": bpe})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+TOKEN_COUNT_BPE_ORACLE = (
+    r"SELECT doc_id, "
+    r"CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT)"
+    r" AS n_tokens_ws, "
+    "CAST(length(regexp_extract_all(COALESCE(text, ''), '"
+    + BPE_PRETOKEN_PATTERN.replace("'", "''")
+    + "')) AS BIGINT) AS n_tokens_bpe FROM documents"
+)
