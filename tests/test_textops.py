@@ -302,6 +302,81 @@ def test_neardup_jaccard_exchange_path_matches_fast_path(ray_session, monkeypatc
     np.testing.assert_allclose(f["jaccard"], s["jaccard"])
 
 
+def test_neardup_jaccard_byte_budget_forces_exchange_path(ray_session):
+    """The fast-path cap is sized in estimated shingle BYTES: a tiny
+    byte budget must route through the distributed exchange path and
+    still produce the identical verified set."""
+    import vyperdatum_ray.pipelines.textops as T
+
+    fast = T.q_neardup_jaccard(SF, tau=0.5).to_pandas()
+    slow = T.q_neardup_jaccard(SF, tau=0.5, byte_budget=1).to_pandas()
+    key = ["id_a", "id_b"]
+    f = fast.sort_values(key).reset_index(drop=True)
+    s = slow.sort_values(key).reset_index(drop=True)
+    assert f[key].equals(s[key])
+    np.testing.assert_allclose(f["jaccard"], s["jaccard"])
+
+
+def test_dedup_salt_bits_scale_with_corpus_bytes():
+    """The salt width must widen once expected per-group payload
+    exceeds the target — the 100-TB parameter-scaling guarantee."""
+    from vyperdatum_ray.pipelines.textops import (DEDUP_SALT_BITS_CAP,
+                                                  DEDUP_SALT_BITS_FLOOR,
+                                                  _footer_stats,
+                                                  dedup_salt_bits)
+
+    path = f"{SF}/documents.parquet"
+    total, rows = _footer_stats(path, ("doc_id", "text"))
+    assert total > 0 and rows > 0
+    # sf-scale corpora keep the round-4 floor (bench parity)
+    assert dedup_salt_bits(path, ("doc_id", "text")) == DEDUP_SALT_BITS_FLOOR
+    # shrink the target so this corpus "looks" 100-TB-sized: width grows
+    tiny = dedup_salt_bits(path, ("doc_id", "text"),
+                           target_bytes=max(total >> 14, 1))
+    assert tiny > DEDUP_SALT_BITS_FLOOR
+    # zero target widens until the shifted payload itself vanishes,
+    # never past the group-count cap
+    zero = dedup_salt_bits(path, ("doc_id", "text"), target_bytes=0)
+    assert tiny <= zero <= DEDUP_SALT_BITS_CAP and (total >> zero) == 0
+    # per-group expectation is met at the chosen width
+    assert (total >> tiny) <= max(total >> 14, 1)
+
+
+def test_dedup_results_invariant_to_salt_width(ray_session):
+    """Correctness must not depend on the auto-scaled shuffle width:
+    every copy of a key shares its hash prefix at ANY width."""
+    from vyperdatum_ray.pipelines.textops import (q_dedup_exact,
+                                                  q_url_dedup)
+
+    base = q_dedup_exact(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    wide = q_dedup_exact(SF, salt_bits=15).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(wide)
+
+    ub = q_url_dedup(SF).to_pandas().sort_values("url_canonical").reset_index(drop=True)
+    uw = q_url_dedup(SF, salt_bits=16).to_pandas() \
+        .sort_values("url_canonical").reset_index(drop=True)
+    assert ub.equals(uw)
+
+
+def test_spatial_order_rank_invariant_to_shard_shift(ray_session):
+    """The z-order global rank must be identical at any (auto-scaled)
+    morton shard width: shard boundaries are code prefixes, so local
+    order + base is the same total order regardless of the split."""
+    from vyperdatum_ray.pipelines.queries import (_morton_shard_shift,
+                                                  q_spatial_order)
+
+    base = q_spatial_order(SF).to_pandas().sort_values("rank").reset_index(drop=True)
+    narrow = q_spatial_order(SF, shard_shift=16).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert base.equals(narrow)
+    # width policy: sf corpora keep the 1024-shard floor; a 10^12-row
+    # corpus narrows to the driver-table cap
+    assert _morton_shard_shift(10_000) == 22
+    assert _morton_shard_shift(10**12) == 13  # ~1.9M rows/shard
+    assert _morton_shard_shift(10**15) == 12  # clamped at driver cap
+
+
 def test_unigram_logprob_oov_bucket(ray_session):
     """With a tiny vocab cap the tail must score as ONE pooled OOV mass:
     rarer-than-cap tokens share a single surprisal value, and frequent

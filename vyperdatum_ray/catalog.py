@@ -76,6 +76,10 @@ class Catalog:
             h = hashlib.md5()
             h.update(np.array([g.origin_x, g.origin_y, g.dx, g.dy],
                               dtype=np.float64).tobytes())
+            # shape participates: a byte-identical values buffer under a
+            # different (ny, nx) interpolates differently and must not
+            # fingerprint as the same grid
+            h.update(np.array(g.values.shape, dtype=np.int64).tobytes())
             h.update(np.ascontiguousarray(g.values).tobytes())
             out[key] = h.hexdigest()[:16]
         return out

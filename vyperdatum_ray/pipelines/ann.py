@@ -754,6 +754,12 @@ def q_pca_embeddings(sf_dir: str, k: int = PCA_K) -> ray.data.Dataset:
     import numpy.linalg as la
 
     sample = _emb(sf_dir).limit(4).to_pandas()
+    if len(sample) == 0:
+        # empty corpus: a typed empty projection, not an IndexError in
+        # the dim sniff / merge tree / n=0 mean
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             **{f"pc{j}": pa.array([], pa.float64()) for j in range(k)}}))
     dim = len(sample["embedding"].iloc[0])
     width = dim + dim * dim + 1
 

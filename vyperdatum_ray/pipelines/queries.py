@@ -791,7 +791,23 @@ def q_gridded_points(sf_dir: str) -> ray.data.Dataset:
 # same bounded prefix-sum discipline as training.q_seq_pack.
 _MORTON_X0, _MORTON_Y0 = -77.0, 33.0
 _MORTON_SPAN = 5.0  # degrees covered by the 16-bit axis
-_MORTON_SHARD_BITS = 22  # shard = morton >> 22 -> 1024 driver offsets
+# shard = morton >> shift. The shift auto-scales with corpus rows
+# (parquet footer count) like training._pack_shard_bits: the round-4
+# fixed 1024-shard width put ~10^9 rows in one sort task at 10^12
+# docs; narrowing the shift doubles the shard count until the expected
+# per-group row count fits a block-sized sort, capped so the driver
+# offset table stays <= 2^20 entries (~16 MB).
+_MORTON_SHARD_SHIFT_FLOOR = 22      # 1024 shards (the round-4 width)
+_MORTON_SHARD_SHIFT_MIN = 12        # 2^20 shards: driver-table cap
+_ORDER_TARGET_GROUP_ROWS = 1 << 21  # ~2M (url, morton) rows per sort
+
+
+def _morton_shard_shift(n_rows: int) -> int:
+    shift = _MORTON_SHARD_SHIFT_FLOOR
+    while (shift > _MORTON_SHARD_SHIFT_MIN
+           and (n_rows >> (32 - shift)) > _ORDER_TARGET_GROUP_ROWS):
+        shift -= 1
+    return shift
 
 
 def _morton_codes(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
@@ -806,19 +822,27 @@ def _morton_codes(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     return code
 
 
-def q_spatial_order(sf_dir: str) -> ray.data.Dataset:
+def q_spatial_order(sf_dir: str, shard_shift: int | None = None) -> ray.data.Dataset:
     """Global z-order rank per geocoded page: (url, morton, rank) where
     rank is the row's position in the corpus-wide (morton, url)
     ordering — the write-order index a spatially-clustered sink needs.
     Distributed order-index assignment without materializing a global
-    sort result: (1) per-batch partial counts per 1024-way morton-prefix
-    shard, groupby-sum, driver cumsum (1024 offsets — constant at any
-    corpus size); (2) docs stream through a bounded-salt groupby
-    (shard), each group sorts its own rows by (morton, url) and adds
-    its shard's global base — shard boundaries align with the code
-    prefix, so local order + base = exact global rank."""
+    sort result: (1) per-batch partial counts per morton-prefix shard
+    (shard width auto-scaled from the footer row count — see
+    ``_morton_shard_shift``), groupby-sum, driver cumsum of the
+    bounded offset table; (2) docs stream through a bounded-salt
+    groupby (shard), each group sorts its own rows by (morton, url)
+    and adds its shard's global base — shard boundaries align with the
+    code prefix, so local order + base = exact global rank. Ranks are
+    shift-invariant (tests force other widths)."""
     from vyperdatum_ray.fixtures import pages_paths
     from vyperdatum_ray.stages.geocode import geocode_batch, keep_geocoded
+
+    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
+    if shard_shift is None:
+        # footer row count upper-bounds the geocoded subset
+        shard_shift = _morton_shard_shift(ds.count())
+    shift = int(shard_shift)
 
     def prep(t: pa.Table) -> pa.Table:
         g = keep_geocoded(geocode_batch(t))
@@ -828,10 +852,9 @@ def q_spatial_order(sf_dir: str) -> ray.data.Dataset:
         return pa.table({
             "url": g.column("url"),
             "morton": pa.array(code, pa.int64()),
-            "shard": pa.array(code >> _MORTON_SHARD_BITS, pa.int64()),
+            "shard": pa.array(code >> shift, pa.int64()),
         })
 
-    ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url", "text"])
     prepped = ds.map_batches(prep, batch_format="pyarrow")
 
     def shard_partial(t: pa.Table) -> pa.Table:

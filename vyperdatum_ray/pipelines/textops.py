@@ -40,7 +40,75 @@ def _hash_utf8_fast(arr) -> np.ndarray:
     return pl.from_arrow(arr).hash(seed=42).to_numpy().astype(np.uint64)
 
 
-def q_dedup_exact(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
+# ---- auto-scaled shuffle-salt widths --------------------------------
+# The bounded-salt dedups partition on a hash PREFIX, so each
+# map_groups task materializes ~1/2^bits of the shuffled payload in one
+# pandas frame. A fixed width dies at corpus scale (1/1024 of 100 TB is
+# ~100 GB per task), so the width is derived from parquet FOOTER
+# metadata — the same discipline as training._pack_shard_bits — by
+# widening past the round-4 floor until the expected per-group payload
+# fits a target block size. Correctness is width-independent: every
+# copy of a key shares its full hash, hence its prefix group, at any
+# width (tests force tiny targets and assert identical output).
+DEDUP_SALT_BITS_FLOOR = 10            # the round-4 fixed width
+DEDUP_SALT_BITS_CAP = 26              # 64M groups; Ray groupby key space
+DEDUP_TARGET_GROUP_BYTES = 128 << 20  # per-map_groups-task payload goal
+_FOOTER_SAMPLE_FILES = 64
+
+
+def _footer_stats(paths, columns=None) -> tuple[int, int]:
+    """(estimated uncompressed bytes of ``columns``, estimated rows)
+    across ``paths`` from parquet footers only. The first
+    ``_FOOTER_SAMPLE_FILES`` footers (sorted order, deterministic) are
+    read and extrapolated by file count, so driver cost is O(1) in
+    corpus size — production layouts would serve the same numbers from
+    a table catalog."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    paths = sorted(paths)
+    sample = paths[:_FOOTER_SAMPLE_FILES]
+    total = 0
+    rows = 0
+    for p in sample:
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if columns is None or col.path_in_schema in columns:
+                    total += col.total_uncompressed_size
+    scale = len(paths)
+    n = max(len(sample), 1)
+    return total * scale // n, rows * scale // n
+
+
+@functools.lru_cache(maxsize=256)
+def _salt_bits_cached(paths_key: tuple, columns: tuple | None,
+                      target_bytes: int) -> int:
+    total, _ = _footer_stats(list(paths_key),
+                             list(columns) if columns else None)
+    bits = DEDUP_SALT_BITS_FLOOR
+    while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
+        bits += 1
+    return bits
+
+
+def dedup_salt_bits(paths, columns=None,
+                    target_bytes: int = DEDUP_TARGET_GROUP_BYTES) -> int:
+    """Salt width for a bounded-salt dedup whose shuffle payload is the
+    uncompressed bytes of ``columns`` in ``paths``: the smallest width
+    >= the floor with expected per-group payload <= ``target_bytes``."""
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    return _salt_bits_cached(tuple(sorted(paths)),
+                             tuple(columns) if columns else None,
+                             target_bytes)
+
+
+def q_dedup_exact(sf_dir: str, salt_bits: int | None = None) -> ray.data.Dataset:
     """Exact dedup of documents by full text: hash-partition, then keep
     min doc_id per distinct text (group-internal exact comparison, so
     hash collisions cannot merge distinct texts).
@@ -49,7 +117,12 @@ def q_dedup_exact(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
     not the full hash — one Ray group per distinct text would cost a
     Python call per document; inside each group the real per-text
     reduction is one vectorized pandas groupby. All copies of a text
-    share its hash, hence its prefix group, so the reduction is exact."""
+    share its hash, hence its prefix group, so the reduction is exact.
+    The width auto-scales with corpus text bytes (``dedup_salt_bits``)
+    so each group's materialized slice stays block-sized at 100 TB."""
+    if salt_bits is None:
+        salt_bits = dedup_salt_bits(f"{sf_dir}/documents.parquet",
+                                    ("doc_id", "text"))
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = _hash_utf8_fast(batch.column("text"))
@@ -65,15 +138,20 @@ def q_dedup_exact(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
     return ds.groupby("hash_salt").map_groups(reduce_group, batch_format="pandas")
 
 
-def q_dedup_normalized(sf_dir: str) -> ray.data.Dataset:
+def q_dedup_normalized(sf_dir: str, salt_bits: int | None = None) -> ray.data.Dataset:
     """Template dedup of pages: strip numbers from text, dedupe on the
     normalized key (the pages corpus is template-generated, so this
-    collapses it to the handful of real templates)."""
+    collapses it to the handful of real templates). Salt width
+    auto-scales with corpus bytes like q_dedup_exact."""
     from vyperdatum_ray.fixtures import pages_paths
+
+    if salt_bits is None:
+        salt_bits = dedup_salt_bits(pages_paths(sf_dir), ("url", "text"))
+    shift = np.uint64(64 - salt_bits)
 
     def add_key(batch: pa.Table) -> pa.Table:
         norm = pc.replace_substring_regex(batch.column("text"), NORMALIZE_PATTERN, "#")
-        salt = _hash_utf8_fast(norm) >> np.uint64(54)  # 1024 bounded groups
+        salt = _hash_utf8_fast(norm) >> shift
         return pa.table(
             {
                 "url": batch.column("url"),
@@ -210,7 +288,8 @@ def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
-def q_line_dedup(sf_dir: str, min_count: int = 3, salt_bits: int = 10) -> ray.data.Dataset:
+def q_line_dedup(sf_dir: str, min_count: int = 3,
+                 salt_bits: int | None = None) -> ray.data.Dataset:
     """C4-style corpus-level line dedup over pages: any LINE occurring
     >= min_count times across the whole corpus (boilerplate — cookie
     banners, footers) is removed from every document; output is the
@@ -235,12 +314,18 @@ def q_line_dedup(sf_dir: str, min_count: int = 3, salt_bits: int = 10) -> ray.da
     from vyperdatum_ray.fixtures import pages_paths
 
     paths = pages_paths(sf_dir)
+    if salt_bits is None:
+        # pass-1 groups carry (line, partial_count) rows, not documents
+        # — but the distinct-line payload still tracks text bytes, so
+        # the same byte-derived width applies.
+        salt_bits = dedup_salt_bits(paths, ("text",))
+    salt_shift = np.uint64(64 - salt_bits)
 
     def line_partials(batch: pa.Table) -> pa.Table:
         flat = pc.list_flatten(pc.split_pattern(batch.column("text"), "\n"))
         part = pa.table({"line": flat}).group_by("line").aggregate([("line", "count")])
         lines = part.column("line").combine_chunks()
-        salt = _hash_utf8_fast(lines) >> np.uint64(64 - salt_bits)
+        salt = _hash_utf8_fast(lines) >> salt_shift
         return pa.table({
             "line": lines,
             "n": pc.cast(part.column("line_count"), pa.int64()),
@@ -929,16 +1014,21 @@ def _jaccard_pairs_flat(flat: np.ndarray, offs: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
-# Fast-path cap on CANDIDATE DOCS. The driver collects the candidates'
-# (doc_id, shingle) rows — ~16 bytes per text character, so ~16 KB per
-# 1k-char doc: 250k docs ≈ 4 GB driver RSS worst-case, the budget this
-# cap is derived from. Past it the distributed exchange path takes
-# over. (The cap guarded ~2M docs when the fast path collected only
-# TEXTS — the shingle-row collection is ~8x heavier per doc.)
-BROADCAST_CAND_CAP = 250_000
+# Fast-path budget on the driver-collected candidate SHINGLE table, in
+# BYTES not ids: each (doc_id, shingle) row is 16 bytes and a doc
+# yields ~one 5-gram shingle per whitespace token (~6 text bytes), so
+# the estimate is n_candidate_ids x (mean uncompressed text bytes per
+# doc, from the parquet footer) x 16/6. Past the budget the
+# distributed exchange path takes over. An id-count cap alone
+# under-counts — 250k ids of 100 KB docs is ~70 GB of shingle rows —
+# so the id cap stays only as a secondary guard on the driver-side
+# pair bookkeeping arrays.
+BROADCAST_SHINGLE_BUDGET_BYTES = 4 << 30
+BROADCAST_CAND_CAP = 2_000_000
 
 
-def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.data.Dataset:
+def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256,
+                      byte_budget: int | None = None) -> ray.data.Dataset:
     """n-gram Jaccard near-dup: MinHash-LSH candidate pairs verified
     with exact 5-gram Jaccard >= tau (candidate recall from LSH, final
     precision from the exact measure).
@@ -973,7 +1063,14 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256) -> ray.d
     ).astype(np.int64)
     cand_ids_ref = ray.put(cand_ids)
 
-    if len(cand_ids) <= BROADCAST_CAND_CAP:
+    if byte_budget is None:
+        byte_budget = BROADCAST_SHINGLE_BUDGET_BYTES
+    text_bytes, n_docs_total = _footer_stats(
+        f"{sf_dir}/documents.parquet", ("text",))
+    mean_doc_bytes = text_bytes / max(n_docs_total, 1)
+    est_shingle_bytes = len(cand_ids) * mean_doc_bytes * 16.0 / 6.0
+
+    if len(cand_ids) <= BROADCAST_CAND_CAP and est_shingle_bytes <= byte_budget:
         # FAST PATH: the candidate SHINGLE SETS are bounded (candidate-
         # sized, never corpus-sized), so compute them DISTRIBUTED — the
         # doc scan shingles its own candidate rows per batch and emits
@@ -2235,7 +2332,7 @@ def domain_quality_oracle_sql(fx: str, k: int = 20) -> str:
 
     return f"""
 WITH p AS (
-  SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+  SELECT regexp_extract(COALESCE(url, ''), 'https?://([^/]+)/', 1) AS host,
     CAST({_QUALITY_WEIGHT_SQL} AS BIGINT) AS w
   FROM read_parquet('{fx}/pages/*.parquet')),
 g AS (
@@ -2250,19 +2347,24 @@ FROM g ORDER BY n_pages DESC, host LIMIT {k}"""
 def _canonical_urls(url_col) -> np.ndarray:
     """Lowercased scheme://host + path, query string and fragment
     stripped — the URL canonicalization step of web-corpus dedup."""
-    s = pd.Series(url_col.to_numpy(zero_copy_only=False))
+    s = pd.Series(url_col.to_numpy(zero_copy_only=False)).fillna("")
     s = s.str.replace(r"[?#].*$", "", regex=True)
     m = s.str.extract(r"^(https?://[^/]*)(.*)$")
     return (m[0].str.lower().fillna(s) + m[1].fillna("")).to_numpy()
 
 
-def q_url_dedup(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
+def q_url_dedup(sf_dir: str, salt_bits: int | None = None) -> ray.data.Dataset:
     """Dedup pages by CANONICAL url (lowercased scheme+host, query and
     fragment stripped): one row per canonical url with the min raw url
     and the variant count. Same bounded-salt discipline as dedup_exact:
     the shuffle key is a 2^salt_bits hash prefix of the canonical url;
     the exact per-canonical reduction happens vectorized inside each
-    salt group."""
+    salt group. Width auto-scales with the URL-column bytes only — the
+    group payload here is urls, never document text."""
+    from vyperdatum_ray.fixtures import pages_paths
+
+    if salt_bits is None:
+        salt_bits = dedup_salt_bits(pages_paths(sf_dir), ("url",))
 
     def prep(batch: pa.Table) -> pa.Table:
         canon = _canonical_urls(batch.column("url"))
@@ -2278,8 +2380,6 @@ def q_url_dedup(sf_dir: str, salt_bits: int = 10) -> ray.data.Dataset:
             url=("url", "min"), n_variants=("url", "size"))
         return g[["url_canonical", "url", "n_variants"]]
 
-    from vyperdatum_ray.fixtures import pages_paths
-
     ds = ray.data.read_parquet(pages_paths(sf_dir), columns=["url"])
     ds = ds.map_batches(prep, batch_format="pyarrow")
     return ds.groupby("salt").map_groups(reduce_group, batch_format="pandas")
@@ -2289,9 +2389,9 @@ def url_dedup_oracle_sql(fx: str) -> str:
     return f"""
 WITH c AS (
   SELECT url,
-    lower(regexp_extract(regexp_replace(url, '[?#].*$', ''),
+    lower(regexp_extract(regexp_replace(COALESCE(url, ''), '[?#].*$', ''),
                          '^(https?://[^/]*)', 1))
-    || regexp_replace(regexp_replace(url, '[?#].*$', ''),
+    || regexp_replace(regexp_replace(COALESCE(url, ''), '[?#].*$', ''),
                       '^https?://[^/]*', '') AS url_canonical
   FROM read_parquet('{fx}/pages/*.parquet'))
 SELECT url_canonical, min(url) AS url,

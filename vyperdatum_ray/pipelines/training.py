@@ -379,7 +379,8 @@ class CurateStage:
 
 
 def q_corpus_pipeline(sf_dir: str,
-                      input_ds: ray.data.Dataset | None = None) -> ray.data.Dataset:
+                      input_ds: ray.data.Dataset | None = None,
+                      salt_bits: int | None = None) -> ray.data.Dataset:
     """The webtext flagship: raw pages -> curated, split training
     corpus in one streaming pipeline — English-only (LangId), quality-
     gated (10..5000 tokens, alpha density >= 0.5), decontaminated
@@ -391,10 +392,23 @@ def q_corpus_pipeline(sf_dir: str,
     surviving text once — at larger scale swap the key to a 128-bit
     content hash exactly as dedup_exact's docstring describes)."""
     from vyperdatum_ray.pipelines.textops import (_hash_utf8_fast,
-                                                  contam_probe_ref)
+                                                  contam_probe_ref,
+                                                  dedup_salt_bits)
 
     probe_ref = contam_probe_ref(sf_dir, input_ds=input_ds)
     docs = input_ds if input_ds is not None else _docs(sf_dir, ["doc_id", "text"])
+    if salt_bits is None:
+        if input_ds is None:
+            # width from the RAW corpus footer (curation only shrinks
+            # the dedup shuffle payload, so this over-provisions safely)
+            salt_bits = dedup_salt_bits(f"{sf_dir}/documents.parquet",
+                                        ("doc_id", "text"))
+        else:
+            # an injected input_ds has no footer: callers at scale pass
+            # the width explicitly; the floor covers test corpora
+            from vyperdatum_ray.pipelines.textops import DEDUP_SALT_BITS_FLOOR
+            salt_bits = DEDUP_SALT_BITS_FLOOR
+    salt_shift = np.uint64(64 - salt_bits)
     # stateless tasks: CurateStage's "state" is the broadcast probe
     # ref (plasma-cached per worker) plus the µs-built LangId arrays —
     # a model-loading curate stage would be an actor pool instead
@@ -406,7 +420,7 @@ def q_corpus_pipeline(sf_dir: str,
         col = t.column("text")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        salt = _hash_utf8_fast(col) >> np.uint64(54)  # 1024 bounded groups
+        salt = _hash_utf8_fast(col) >> salt_shift  # bounded groups
         return t.append_column("hash_salt", pa.array(salt, pa.uint64()))
 
     def dedup_split(df):
