@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -205,6 +206,17 @@ def flagship_pipeline(
     return ds
 
 
+def synth_z_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic synthetic input depth from the parsed coordinates
+    — the z source the itrf variant and its DuckDB oracle both compute
+    (round((lat - 35) * 2 + (lon + 75), 3)); lives here so the fused
+    and staged shapes share the bit-identical expression."""
+    lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    lon = batch.column("lon").to_numpy(zero_copy_only=False)
+    z = np.round((lat - 35.0) * 2.0 + (lon + 75.0), 3)
+    return batch.append_column("z_in", pa.array(z, pa.float64()))
+
+
 class FusedReadTransform:
     """The WHOLE flagship per input shard in ONE actor call: parquet
     read -> geocode -> cell index -> PIP join -> datum transform,
@@ -227,13 +239,16 @@ class FusedReadTransform:
 
     def __init__(self, catalog_ref, from_datum="ellipse", to_datum="mllw",
                  in_is_height=True, out_is_height=False,
-                 include_paths=False, inner=1):
+                 include_paths=False, inner=1,
+                 z_col=None, out_frame=None, emit_xy=False, synth_z=False):
         self.jt = JoinTransform(
             catalog_ref=catalog_ref, from_datum=from_datum, to_datum=to_datum,
             in_is_height=in_is_height, out_is_height=out_is_height,
+            z_col=z_col, out_frame=out_frame, emit_xy=emit_xy,
         )
         self.include_paths = include_paths
         self.inner = inner
+        self.synth_z = synth_z
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -242,6 +257,8 @@ class FusedReadTransform:
         for p in batch.column("path").to_pylist():
             t = pq.read_table(p, columns=["url", "text"])
             base = keep_geocoded(geocode_batch(t)).select(["url", "lat", "lon"])
+            if self.synth_z:
+                base = synth_z_batch(base)
             # replication happens BEFORE the transform so every emitted
             # row carries full cell-index + PIP + transform work (the
             # read/geocode amortization matches the old scaling shape;
@@ -266,6 +283,10 @@ def flagship_fused(
     to_datum: str = "mllw",
     in_is_height: bool = True,
     out_is_height: bool = False,
+    z_col: str | None = None,
+    out_frame: str | None = None,
+    emit_xy: bool = False,
+    synth_z: bool = False,
 ) -> ray.data.Dataset:
     """Flagship as a single fused actor-pool stage over shard paths —
     see FusedReadTransform. One ~90%-CPU pool, one path row per task."""
@@ -281,6 +302,8 @@ def flagship_fused(
             "to_datum": to_datum, "in_is_height": in_is_height,
             "out_is_height": out_is_height,
             "include_paths": include_paths, "inner": inner,
+            "z_col": z_col, "out_frame": out_frame, "emit_xy": emit_xy,
+            "synth_z": synth_z,
         },
         batch_format="pyarrow", batch_size=1,
         concurrency=_pool_size(), num_cpus=1,

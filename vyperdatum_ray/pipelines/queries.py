@@ -160,29 +160,14 @@ def q_datum_transform_itrf(sf_dir: str) -> ray.data.Dataset:
     xy directly; NAD83-framed regions apply the 3-D z-correction
     ``new_z - (z - diffz)`` with diffz from the input->ITRF2014 hop.
     Input z is synthesized deterministically from the parsed lat/lon
-    (both sides compute the identical expression)."""
+    (both sides compute the identical expression,
+    ``flagship.synth_z_batch``). Runs on the fused single-actor shape
+    like the other text-free transform variants — the round-4 staged
+    chain was the last one paying the read->actor store hop."""
     import pyarrow.compute as pc
 
-    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
-
-    catalog_ref = ray.put(load_catalog(sf_dir))
-
-    def add_z(batch: pa.Table) -> pa.Table:
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        z = np.round((lat - 35.0) * 2.0 + (lon + 75.0), 3)
-        return batch.append_column("z_in", pa.array(z, pa.float64()))
-
-    ds = _geo(sf_dir, GEO_SLIM).map_batches(add_z, batch_format="pyarrow")
-    ds = ds.map_batches(
-        JoinTransform,
-        fn_constructor_kwargs=dict(
-            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
-            in_is_height=True, out_is_height=False,
-            z_col="z_in", out_frame="ITRF2014", emit_xy=True,
-        ),
-        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
-    )
+    ds = flagship_fused(sf_dir, z_col="z_in", out_frame="ITRF2014",
+                        emit_xy=True, synth_z=True)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
