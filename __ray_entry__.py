@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_projected": q.q_transform_projected,
         "transform_stateplane": q.q_transform_stateplane,
         "transform_stateplane_tm": q.q_transform_stateplane_tm,
+        "transform_stateplane_md": q.q_transform_stateplane_md,
+        "transform_stateplane_nj": q.q_transform_stateplane_nj,
         "external_region_transform": q.q_external_region_transform,
         "hot_tiles": q.q_hot_tiles,
         "transform_summary": q.q_transform_summary,
@@ -228,6 +230,8 @@ def oracle_sql() -> dict[str, str]:
         "transform_projected": oracle.q_transform_projected(fx),
         "transform_stateplane": oracle.q_transform_stateplane(fx),
         "transform_stateplane_tm": oracle.q_transform_stateplane_tm(fx),
+        "transform_stateplane_md": oracle.q_transform_stateplane_md(fx),
+        "transform_stateplane_nj": oracle.q_transform_stateplane_nj(fx),
         "external_region_transform": oracle.q_external_region_transform(fx),
         "hot_tiles": oracle.q_hot_tiles(fx),
         "uncertainty_table": oracle.q_uncertainty_table(fx),

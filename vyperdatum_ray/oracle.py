@@ -553,6 +553,43 @@ JOIN geo g ON g.url = w.url
 WHERE w.rn = 1"""
 
 
+def _transform_stateplane_roundtrip(fx: str, epsg: int) -> str:
+    """Mirror of queries._transform_stateplane_roundtrip for the
+    round-5 newly-registered zones: forward-project the geocoded
+    coordinates with the zone's registry row (bit-identical kernels
+    repr-embedding the SAME derived scalars), inverse back, then the
+    standard membership + transform on the recovered coordinates
+    (recovered == 5-decimal originals under 1e-7 quantization — the
+    same identity q_transform_projected relies on)."""
+    from vyperdatum_ray.core.projection import (STATE_PLANE_LCC,
+                                                sql_lcc_roundtrip_ctes,
+                                                sql_tm_roundtrip_ctes)
+
+    if epsg in STATE_PLANE_LCC:
+        ctes = sql_lcc_roundtrip_ctes("u", "geo", "lon", "lat", epsg, "url")
+        final = "ulcc"
+    else:
+        ctes = sql_tm_roundtrip_ctes("u", "geo", "lon", "lat", epsg, "url")
+        final = "utm"
+    return f"""WITH {_geo_cte(fx)},
+{ctes},
+{_memb_cte(fx)}, {_transform_ctes(fx)}
+SELECT g.url, u.easting, u.northing, u.rlon AS lon, u.rlat AS lat,
+  w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
+FROM zwin w
+JOIN geo g ON g.url = w.url
+JOIN {final} u ON u.url = g.url
+WHERE w.rn = 1"""
+
+
+def q_transform_stateplane_md(fx: str) -> str:
+    return _transform_stateplane_roundtrip(fx, 26985)
+
+
+def q_transform_stateplane_nj(fx: str) -> str:
+    return _transform_stateplane_roundtrip(fx, 32111)
+
+
 def q_external_region_transform(fx: str) -> str:
     """Mirror of queries.q_external_region_transform: every catalog
     table unioned with its ``external/`` sibling (the user region's

@@ -320,6 +320,70 @@ def q_transform_stateplane_tm(sf_dir: str, epsg: int = 26957) -> ray.data.Datase
          "z_out", "unc"])
 
 
+def _transform_stateplane_roundtrip(sf_dir: str, epsg: int) -> ray.data.Dataset:
+    """Shared shape for the round-5 NEWLY-registered SPCS83 zones
+    (the data-driven registry growth item): the engine forward-projects
+    the geocoded coordinates into the zone — defining the projected
+    input, as q_transform_projected's UTM goldens do — inverse-projects
+    with the same registry row, then runs the normal PIP + transform.
+    The kernels are untouched; only a registry row differs per zone.
+    Only zones whose central meridian is near the fixture area are
+    oracle-exercised this way (MD LCC CM -77, NJ TM CM -74.5): the
+    roundtrip's recovered coords must equal the 5-decimal originals
+    under the 1e-7 output quantization, which holds when the Krüger /
+    conformal series run near their meridian."""
+    import pyarrow.compute as pc
+
+    from vyperdatum_ray.core.projection import (STATE_PLANE_LCC, lcc_forward,
+                                                lcc_inverse, tm_forward,
+                                                tm_inverse)
+    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+
+    fwd, inv = ((lcc_forward, lcc_inverse) if epsg in STATE_PLANE_LCC
+                else (tm_forward, tm_inverse))
+    catalog_ref = ray.put(load_catalog(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        easting, northing = fwd(lon, lat, epsg)
+        rlon, rlat = inv(easting, northing, epsg)
+        return pa.table({
+            "url": batch.column("url"),
+            "easting": pa.array(easting, pa.float64()),
+            "northing": pa.array(northing, pa.float64()),
+            "lon": pa.array(rlon, pa.float64()),
+            "lat": pa.array(rlat, pa.float64()),
+        })
+
+    ds = _geo(sf_dir, GEO_SLIM).map_batches(project, batch_format="pyarrow")
+    ds = ds.map_batches(
+        JoinTransform,
+        fn_constructor_kwargs=dict(
+            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
+            in_is_height=True, out_is_height=False,
+        ),
+        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "easting", "northing", "lon", "lat", "region", "region_index",
+         "z_out", "unc"])
+
+
+def q_transform_stateplane_md(sf_dir: str) -> ray.data.Dataset:
+    """Maryland LCC zone (EPSG:26985) — round-5 registry addition."""
+    return _transform_stateplane_roundtrip(sf_dir, 26985)
+
+
+def q_transform_stateplane_nj(sf_dir: str) -> ray.data.Dataset:
+    """New Jersey TM zone (EPSG:32111) — round-5 registry addition."""
+    return _transform_stateplane_roundtrip(sf_dir, 32111)
+
+
 def q_external_region_transform(sf_dir: str) -> ray.data.Dataset:
     """Catalog-as-data extensibility end-to-end (SURVEY §2.9, reference
     core.py:671-764): a USER-supplied region arrives as parquet
