@@ -272,28 +272,31 @@ def run_scaling() -> dict:
     }
 
 
-def _emit(record: dict) -> None:
+def _emit(record: dict, mode: str = "bench") -> None:
     """Print the one-line JSON contract AND persist the complete record
-    to bench_results/latest_full.json. The driver snapshots only the
-    last ~2 KB of stdout into BENCH_r{N}.json, so the stdout line keeps
-    the medians but moves the bulky per-run lists / row counts to the
-    file (pointed at by ``full_record``) — the round-4 records' parsed
-    field was null because the full line outgrew the capture window."""
+    to bench_results/latest_<mode>_full.json (per-mode file so a
+    --scaling run cannot overwrite the full record an earlier bench
+    stdout line still points at). The driver snapshots only the last
+    ~2 KB of stdout into BENCH_r{N}.json, so the stdout line keeps the
+    medians but moves the bulky per-run lists / row counts to the file
+    (pointed at by ``full_record``) — the round-4 records' parsed field
+    was null because the full line outgrew the capture window."""
     here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(here, "bench_results", "latest_full.json")
+    rel = os.path.join("bench_results", f"latest_{mode}_full.json")
+    full_path = os.path.join(here, rel)
     os.makedirs(os.path.dirname(full_path), exist_ok=True)
     with open(full_path, "w") as f:
         json.dump(record, f, indent=1)
     slim = {k: v for k, v in record.items()
             if k not in ("query_runs", "output_rows", "all_runs")}
-    slim["full_record"] = "bench_results/latest_full.json"
+    slim["full_record"] = rel
     print(json.dumps(slim))
 
 
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--scaling":
-        _emit(run_scaling())
+        _emit(run_scaling(), mode="scaling")
     elif args and args[0] == "--scale-one":
         print(json.dumps(scaling_one(int(args[1]), int(args[2]))))
     elif args and args[0] == "--one":

@@ -500,14 +500,25 @@ def q_transform_projected(fx: str) -> str:
     membership + transform on the recovered coordinates."""
     from vyperdatum_ray.core.projection import sql_utm_roundtrip_ctes
 
+    return _roundtrip_transform_sql(
+        fx, sql_utm_roundtrip_ctes("u", "geo", "lon", "lat", 18, "url"),
+        "uutm")
+
+
+def _roundtrip_transform_sql(fx: str, ctes: str, final: str) -> str:
+    """Shared SELECT shape for every projected-roundtrip transform
+    mirror (UTM and the registered state-plane zones): the roundtrip
+    CTE chain supplies ``{final}(url, easting, northing, rlon, rlat)``;
+    membership + transform run on the original geo coords (recovered ==
+    originals under the 1e-7 quantization, same identity both sides)."""
     return f"""WITH {_geo_cte(fx)},
-{sql_utm_roundtrip_ctes("u", "geo", "lon", "lat", 18, "url")},
+{ctes},
 {_memb_cte(fx)}, {_transform_ctes(fx)}
 SELECT g.url, u.easting, u.northing, u.rlon AS lon, u.rlat AS lat,
   w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
 FROM zwin w
 JOIN geo g ON g.url = w.url
-JOIN uutm u ON u.url = g.url
+JOIN {final} u ON u.url = g.url
 WHERE w.rn = 1"""
 
 
@@ -571,15 +582,7 @@ def _transform_stateplane_roundtrip(fx: str, epsg: int) -> str:
     else:
         ctes = sql_tm_roundtrip_ctes("u", "geo", "lon", "lat", epsg, "url")
         final = "utm"
-    return f"""WITH {_geo_cte(fx)},
-{ctes},
-{_memb_cte(fx)}, {_transform_ctes(fx)}
-SELECT g.url, u.easting, u.northing, u.rlon AS lon, u.rlat AS lat,
-  w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
-FROM zwin w
-JOIN geo g ON g.url = w.url
-JOIN {final} u ON u.url = g.url
-WHERE w.rn = 1"""
+    return _roundtrip_transform_sql(fx, ctes, final)
 
 
 def q_transform_stateplane_md(fx: str) -> str:

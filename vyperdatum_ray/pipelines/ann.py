@@ -756,7 +756,11 @@ def q_pca_embeddings(sf_dir: str, k: int = PCA_K) -> ray.data.Dataset:
     sample = _emb(sf_dir).limit(4).to_pandas()
     if len(sample) == 0:
         # empty corpus: a typed empty projection, not an IndexError in
-        # the dim sniff / merge tree / n=0 mean
+        # the dim sniff / merge tree / n=0 mean. Caveat: with zero rows
+        # there is no embedding dim to cap against, so this emits
+        # exactly k pc columns while a non-empty corpus emits
+        # min(k, dim) — callers asking k > dim see a wider (still
+        # empty) schema in the degenerate case.
         return ray.data.from_arrow(pa.table(
             {"vec_id": pa.array([], pa.int64()),
              **{f"pc{j}": pa.array([], pa.float64()) for j in range(k)}}))

@@ -184,9 +184,20 @@ def q_transform_projected(sf_dir: str, zone: int = 18) -> ray.data.Dataset:
     inverse-projects them to geographic NAD83 with the from-scratch
     transverse-Mercator kernel, then runs the normal PIP + datum
     transform. Output carries the projected AND recovered coords."""
+    from vyperdatum_ray.core.projection import utm_forward, utm_inverse
+
+    return _transform_roundtrip(sf_dir, utm_forward, utm_inverse, zone)
+
+
+def _transform_roundtrip(sf_dir: str, fwd, inv, code: int) -> ray.data.Dataset:
+    """Shared projected-input roundtrip shape: the engine
+    forward-projects the geocoded coordinates with ``fwd(lon, lat,
+    code)`` — defining the projected input, as the reference's UTM
+    goldens do — inverse-projects with ``inv``, then runs the normal
+    PIP + datum transform. Used by the UTM path and every registered
+    state-plane roundtrip zone."""
     import pyarrow.compute as pc
 
-    from vyperdatum_ray.core.projection import utm_forward, utm_inverse
     from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
 
     catalog_ref = ray.put(load_catalog(sf_dir))
@@ -194,8 +205,8 @@ def q_transform_projected(sf_dir: str, zone: int = 18) -> ray.data.Dataset:
     def project(batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        easting, northing = utm_forward(lon, lat, zone)
-        rlon, rlat = utm_inverse(easting, northing, zone)
+        easting, northing = fwd(lon, lat, code)
+        rlon, rlat = inv(easting, northing, code)
         return pa.table({
             "url": batch.column("url"),
             "easting": pa.array(easting, pa.float64()),
@@ -332,46 +343,13 @@ def _transform_stateplane_roundtrip(sf_dir: str, epsg: int) -> ray.data.Dataset:
     roundtrip's recovered coords must equal the 5-decimal originals
     under the 1e-7 output quantization, which holds when the Krüger /
     conformal series run near their meridian."""
-    import pyarrow.compute as pc
-
     from vyperdatum_ray.core.projection import (STATE_PLANE_LCC, lcc_forward,
                                                 lcc_inverse, tm_forward,
                                                 tm_inverse)
-    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
 
     fwd, inv = ((lcc_forward, lcc_inverse) if epsg in STATE_PLANE_LCC
                 else (tm_forward, tm_inverse))
-    catalog_ref = ray.put(load_catalog(sf_dir))
-
-    def project(batch: pa.Table) -> pa.Table:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        easting, northing = fwd(lon, lat, epsg)
-        rlon, rlat = inv(easting, northing, epsg)
-        return pa.table({
-            "url": batch.column("url"),
-            "easting": pa.array(easting, pa.float64()),
-            "northing": pa.array(northing, pa.float64()),
-            "lon": pa.array(rlon, pa.float64()),
-            "lat": pa.array(rlat, pa.float64()),
-        })
-
-    ds = _geo(sf_dir, GEO_SLIM).map_batches(project, batch_format="pyarrow")
-    ds = ds.map_batches(
-        JoinTransform,
-        fn_constructor_kwargs=dict(
-            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
-            in_is_height=True, out_is_height=False,
-        ),
-        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
-    )
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
-        batch_format="pyarrow",
-    )
-    return ds.select_columns(
-        ["url", "easting", "northing", "lon", "lat", "region", "region_index",
-         "z_out", "unc"])
+    return _transform_roundtrip(sf_dir, fwd, inv, epsg)
 
 
 def q_transform_stateplane_md(sf_dir: str) -> ray.data.Dataset:

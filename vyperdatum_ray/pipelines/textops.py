@@ -85,27 +85,19 @@ def _footer_stats(paths, columns=None) -> tuple[int, int]:
     return total * scale // n, rows * scale // n
 
 
-@functools.lru_cache(maxsize=256)
-def _salt_bits_cached(paths_key: tuple, columns: tuple | None,
-                      target_bytes: int) -> int:
-    total, _ = _footer_stats(list(paths_key),
-                             list(columns) if columns else None)
-    bits = DEDUP_SALT_BITS_FLOOR
-    while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
-        bits += 1
-    return bits
-
-
 def dedup_salt_bits(paths, columns=None,
                     target_bytes: int = DEDUP_TARGET_GROUP_BYTES) -> int:
     """Salt width for a bounded-salt dedup whose shuffle payload is the
     uncompressed bytes of ``columns`` in ``paths``: the smallest width
-    >= the floor with expected per-group payload <= ``target_bytes``."""
-    if isinstance(paths, (str, bytes)):
-        paths = [paths]
-    return _salt_bits_cached(tuple(sorted(paths)),
-                             tuple(columns) if columns else None,
-                             target_bytes)
+    >= the floor with expected per-group payload <= ``target_bytes``.
+    Deliberately uncached: the footer sample is O(64) metadata reads,
+    and a path-keyed cache would serve stale widths after an in-place
+    fixture/corpus rewrite in a long-lived process."""
+    total, _ = _footer_stats(paths, list(columns) if columns else None)
+    bits = DEDUP_SALT_BITS_FLOOR
+    while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
+        bits += 1
+    return bits
 
 
 def q_dedup_exact(sf_dir: str, salt_bits: int | None = None) -> ray.data.Dataset:
@@ -1015,14 +1007,16 @@ def _jaccard_pairs_flat(flat: np.ndarray, offs: np.ndarray,
 
 
 # Fast-path budget on the driver-collected candidate SHINGLE table, in
-# BYTES not ids: each (doc_id, shingle) row is 16 bytes and a doc
-# yields ~one 5-gram shingle per whitespace token (~6 text bytes), so
-# the estimate is n_candidate_ids x (mean uncompressed text bytes per
-# doc, from the parquet footer) x 16/6. Past the budget the
-# distributed exchange path takes over. An id-count cap alone
-# under-counts — 250k ids of 100 KB docs is ~70 GB of shingle rows —
-# so the id cap stays only as a secondary guard on the driver-side
-# pair bookkeeping arrays.
+# BYTES not ids: each (doc_id, shingle) row is 16 bytes and the
+# shingles are BYTE-level 5-gram windows (_shingle_hashes_batch), so a
+# doc yields up to ~one unique shingle per text byte (measured on the
+# fixture corpus: ~0.7 rows/byte after the per-doc unique collapse; 1.0
+# is the conservative bound used here). Estimate = n_candidate_ids x
+# mean uncompressed text bytes per doc (parquet footer) x 16 row-bytes
+# per text byte. Past the budget the distributed exchange path takes
+# over. An id-count cap alone under-counts — 250k ids of 100 KB docs
+# is ~70 GB of shingle rows — so the id cap stays only as a secondary
+# guard on the driver-side pair bookkeeping arrays.
 BROADCAST_SHINGLE_BUDGET_BYTES = 4 << 30
 BROADCAST_CAND_CAP = 2_000_000
 
@@ -1068,7 +1062,7 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256,
     text_bytes, n_docs_total = _footer_stats(
         f"{sf_dir}/documents.parquet", ("text",))
     mean_doc_bytes = text_bytes / max(n_docs_total, 1)
-    est_shingle_bytes = len(cand_ids) * mean_doc_bytes * 16.0 / 6.0
+    est_shingle_bytes = len(cand_ids) * mean_doc_bytes * 16.0
 
     if len(cand_ids) <= BROADCAST_CAND_CAP and est_shingle_bytes <= byte_budget:
         # FAST PATH: the candidate SHINGLE SETS are bounded (candidate-
