@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textops.q_fingerprint,
         "minhash_pairs": textops.q_minhash_pairs,
         "neardup_jaccard": textops.q_neardup_jaccard,
+        "neardup_clusters_text": textops.q_neardup_clusters_text,
         "simhash_neardup": textops.q_simhash_neardup,
         "approx_distinct_hosts": textops.q_approx_distinct_hosts,
         "top_hosts_sketch": textops.q_top_hosts_sketch,

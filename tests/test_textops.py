@@ -302,6 +302,42 @@ def test_neardup_jaccard_exchange_path_matches_fast_path(ray_session, monkeypatc
     np.testing.assert_allclose(f["jaccard"], s["jaccard"])
 
 
+def test_neardup_clusters_text_matches_transitive_closure(ray_session):
+    """Every document gets the min-doc_id label of its component in the
+    verified pair graph — checked against a single-process union-find
+    over the same pairs; the distributed LP path (pair_cap=0) must
+    agree exactly."""
+    from vyperdatum_ray.pipelines.textops import (q_neardup_clusters_text,
+                                                  q_neardup_jaccard)
+
+    pairs = q_neardup_jaccard(SF, tau=0.5).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    out = q_neardup_clusters_text(SF, tau=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    expect = np.array([find(int(d)) for d in out["doc_id"]], np.int64)
+    np.testing.assert_array_equal(out["cluster_id"].to_numpy(np.int64), expect)
+    np.testing.assert_array_equal(
+        out["is_canonical"].to_numpy(np.int64),
+        (out["doc_id"].to_numpy(np.int64) == expect).astype(np.int64))
+    assert (out["is_canonical"] == 1).sum() == len(np.unique(expect))
+    # distributed label-propagation path agrees bit-for-bit
+    dist = q_neardup_clusters_text(SF, tau=0.5, pair_cap=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(dist)
+
+
 def test_neardup_jaccard_byte_budget_forces_exchange_path(ray_session):
     """The fast-path cap is sized in estimated shingle BYTES: a tiny
     byte budget must route through the distributed exchange path and

@@ -425,13 +425,15 @@ def _lp_components(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
         f"label propagation did not converge in {LP_MAX_ROUNDS} rounds")
 
 
-def _dedup_clusters_distributed(sf_dir: str,
-                                pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+def _clusters_distributed(pairs_ds: ray.data.Dataset,
+                          ids_ds: ray.data.Dataset,
+                          id_col: str) -> ray.data.Dataset:
     """Past-the-cap path: component labels via distributed label
     propagation, then cluster assignment as one bounded-salt
     repartition join (corpus rows probe the label map inside salted
     groups) — neither the edge list nor the label map ever sits on the
-    driver or broadcasts whole."""
+    driver or broadcasts whole. Generic over the id stream
+    (``ids_ds[id_col]``); pairs must carry vec_id_a/vec_id_b."""
     labels = _lp_components(pairs_ds)
 
     def label_side(t: pa.Table) -> pa.Table:
@@ -444,7 +446,7 @@ def _dedup_clusters_distributed(sf_dir: str,
         })
 
     def probe_side(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "key": pa.array(ids, pa.int64()),
             "val": pa.array(ids, pa.int64()),  # default: own cluster
@@ -467,39 +469,38 @@ def _dedup_clusters_distributed(sf_dir: str,
             hit = keys[pos] == ids
             cluster[hit] = roots[pos[hit]]
         return pd.DataFrame({
-            "vec_id": ids,
+            id_col: ids,
             "cluster_id": cluster,
             "is_canonical": (ids == cluster).astype(np.int64),
         })
 
     u = labels.map_batches(label_side, batch_format="pyarrow").union(
-        _emb(sf_dir).map_batches(probe_side, batch_format="pyarrow"))
+        ids_ds.map_batches(probe_side, batch_format="pyarrow"))
     return u.groupby("salt").map_groups(assign, batch_format="pandas")
 
 
-def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4,
-                               pair_cap: int = DEDUP_PAIR_DRIVER_CAP,
-                               ) -> ray.data.Dataset:
-    """Near-dup DEDUP (keep-one) over the embedding-cosine graph:
-    connected components of the exact pair graph, canonical = min
-    vec_id per component; every vector gets (cluster_id, is_canonical).
-
-    Scale shape, dual-path on the measured pair count: the pair set is
-    normally bounded by near-dup density, so under ``pair_cap`` edges
-    the union-find runs driver-side, the root map broadcasts once, and
-    the corpus STREAMS through a vectorized searchsorted lookup. Past
-    the cap (template-spam corpora with dense dup graphs) the driver
-    never sees the edges: ``_lp_components`` runs distributed min-label
-    propagation (iterated salted groupby-min) to the exact fixed point,
-    and cluster assignment happens through one more bounded-salt
-    repartition join instead of a broadcast."""
-    pairs_ds = q_neardup_embedding(sf_dir, tau=tau).materialize()
+def clusters_from_pairs(pairs_ds: ray.data.Dataset,
+                        ids_ds: ray.data.Dataset,
+                        a_col: str, b_col: str, id_col: str,
+                        pair_cap: int) -> ray.data.Dataset:
+    """Generic keep-one dedup clustering: connected components of the
+    (a_col, b_col) pair graph assigned over the ``ids_ds[id_col]``
+    stream -> (id_col, cluster_id, is_canonical). Dual-path on the
+    measured pair count exactly as q_dedup_clusters_embedding
+    describes: driver union-find + broadcast root map under
+    ``pair_cap`` edges, distributed min-label propagation past it."""
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs > pair_cap:
-        return _dedup_clusters_distributed(sf_dir, pairs_ds)
+        if a_col != "vec_id_a":  # _lp_components' expected edge schema
+            pairs_ds = pairs_ds.map_batches(
+                lambda t, _a=a_col, _b=b_col: pa.table(
+                    {"vec_id_a": t.column(_a), "vec_id_b": t.column(_b)}),
+                batch_format="pyarrow")
+        return _clusters_distributed(pairs_ds, ids_ds, id_col)
     pairs = pairs_ds.to_pandas()
-    a = pairs["vec_id_a"].to_numpy(np.int64)
-    b = pairs["vec_id_b"].to_numpy(np.int64)
+    a = pairs[a_col].to_numpy(np.int64)
+    b = pairs[b_col].to_numpy(np.int64)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -518,27 +519,45 @@ def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4,
     roots = np.array([find(int(t)) for t in touched], dtype=np.int64)
     lut_ref = ray.put((touched, roots))
 
-    class AssignCluster:
-        def __init__(self, ref):
-            self.keys, self.roots = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def assign(batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from vyperdatum_ray.core.nputil import isin_sorted
+        keys, rts = ray.get(lut_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        hit = isin_sorted(ids, keys)
+        if hit.any():
+            cluster[hit] = rts[np.searchsorted(keys, ids[hit])]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "is_canonical": pa.array((ids == cluster).astype(np.int64), pa.int64()),
+        })
 
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            cluster = ids.copy()
-            hit = isin_sorted(ids, self.keys)
-            if hit.any():
-                cluster[hit] = self.roots[np.searchsorted(self.keys, ids[hit])]
-            return pa.table({
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(cluster, pa.int64()),
-                "is_canonical": pa.array((ids == cluster).astype(np.int64), pa.int64()),
-            })
+    return ids_ds.map_batches(assign, batch_format="pyarrow")
 
-    return _emb(sf_dir).map_batches(
-        lambda t: AssignCluster(lut_ref)(t), batch_format="pyarrow",
-    )
+
+def q_dedup_clusters_embedding(sf_dir: str, tau: float = 0.4,
+                               pair_cap: int = DEDUP_PAIR_DRIVER_CAP,
+                               ) -> ray.data.Dataset:
+    """Near-dup DEDUP (keep-one) over the embedding-cosine graph:
+    connected components of the exact pair graph, canonical = min
+    vec_id per component; every vector gets (cluster_id, is_canonical).
+
+    Scale shape, dual-path on the measured pair count: the pair set is
+    normally bounded by near-dup density, so under ``pair_cap`` edges
+    the union-find runs driver-side, the root map broadcasts once, and
+    the corpus STREAMS through a vectorized searchsorted lookup. Past
+    the cap (template-spam corpora with dense dup graphs) the driver
+    never sees the edges: ``_lp_components`` runs distributed min-label
+    propagation (iterated salted groupby-min) to the exact fixed point,
+    and cluster assignment happens through one more bounded-salt
+    repartition join instead of a broadcast. Both paths live in the
+    generic ``clusters_from_pairs`` (shared with the text near-dup
+    clusters, textops.q_neardup_clusters_text)."""
+    return clusters_from_pairs(q_neardup_embedding(sf_dir, tau=tau),
+                               _emb(sf_dir), "vec_id_a", "vec_id_b",
+                               "vec_id", pair_cap)
 
 
 def dedup_clusters_oracle_sql(tau: float = 0.4) -> str:

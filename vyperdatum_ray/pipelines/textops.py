@@ -369,6 +369,30 @@ def q_line_dedup(sf_dir: str, min_count: int = 3,
             .map_batches(clean, batch_format="pyarrow", batch_size=None))
 
 
+NEARDUP_CLUSTER_PAIR_CAP = 2_000_000  # driver union-find edge budget
+
+
+def q_neardup_clusters_text(sf_dir: str, tau: float = 0.5,
+                            pair_cap: int = NEARDUP_CLUSTER_PAIR_CAP,
+                            ) -> ray.data.Dataset:
+    """Keep-one fuzzy dedup over documents — the standard web-corpus
+    near-dup removal flow end-to-end: MinHash-LSH candidate recall ->
+    exact 5-gram Jaccard >= tau verification (q_neardup_jaccard) ->
+    connected components of the verified pair graph -> every document
+    labeled (cluster_id = min doc_id of its component, is_canonical).
+    Downstream keeps ``is_canonical = 1`` rows. Dual-path clustering
+    via ann.clusters_from_pairs: driver union-find under ``pair_cap``
+    verified edges, distributed min-label propagation past it. Rows-
+    only by nature (the LSH candidate set is not SQL-expressible);
+    tests assert exact equality with a single-process transitive
+    closure of the same verified pairs."""
+    from vyperdatum_ray.pipelines.ann import clusters_from_pairs
+
+    pairs = q_neardup_jaccard(sf_dir, tau=tau)
+    return clusters_from_pairs(pairs, _docs(sf_dir, ["doc_id"]),
+                               "id_a", "id_b", "doc_id", pair_cap)
+
+
 def q_token_count(sf_dir: str) -> ray.data.Dataset:
     def f(batch: pa.Table) -> pa.Table:
         n = pc.cast(pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64())
