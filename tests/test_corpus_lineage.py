@@ -46,6 +46,39 @@ def test_full_run_matches_adjudicated_pipeline_and_noop_resume(ray_session, ref,
     assert _final(out)["doc_id"].tolist() == ref["doc_id"].tolist()
 
 
+def test_input_rewrite_invalidates_all_records(ray_session, tmp_path):
+    """The input manifest gate: rewriting documents.parquet (same
+    params, different data) must recompute every shard and bucket AND
+    refresh the persisted probe; an untouched input still no-op
+    resumes."""
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.state.corpus_lineage import run_corpus_checkpointed
+
+    sf = str(tmp_path / "in")
+    os.makedirs(sf)
+    shutil.copy(os.path.join(SF, "documents.parquet"),
+                os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "run")
+    m1 = run_corpus_checkpointed(sf, out, n_shards=4, n_buckets=16)
+    assert m1["phaseA_run"] == 4 and m1["phaseB_run"] == 16
+    base = _final(out)
+
+    # untouched input: no-op resume
+    m2 = run_corpus_checkpointed(sf, out, n_shards=4, n_buckets=16)
+    assert m2["phaseA_run"] == 0 and m2["phaseB_run"] == 0
+
+    # rewrite the input: drop half the documents
+    t = pq.read_table(os.path.join(sf, "documents.parquet"))
+    pq.write_table(t.slice(0, t.num_rows // 2),
+                   os.path.join(sf, "documents.parquet"))
+    m3 = run_corpus_checkpointed(sf, out, n_shards=4, n_buckets=16)
+    assert m3["phaseA_run"] == 4 and m3["phaseB_run"] == 16
+    got = _final(out)
+    assert len(got) < len(base)
+    assert got["doc_id"].max() < t.num_rows // 2
+
+
 def test_phase_a_crash_resumes_shard_granular(ray_session, ref, tmp_path):
     """Simulate a crash mid-phase-A: one shard committed, another left
     PARTIAL candidate files with no lineage record. The resume must

@@ -36,6 +36,7 @@ keeps the exact-compare semantics for the oracle gate).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -70,6 +71,55 @@ def corpus_version(n_shards: int, n_buckets: int) -> str:
     return (f"corpus-v{CORPUS_SCHEMA_VERSION}-n{CONTAM_N}-p{CONTAM_PROBE_MOD}"
             f"-t{CP_MIN_TOK}.{CP_MAX_TOK}-w{CP_MIN_W}"
             f"-s{n_shards}-b{n_buckets}-pl{pl.__version__}")
+
+
+CORPUS_MANIFEST_NAME = "_corpus_manifest.json"
+
+
+def input_fingerprints(paths) -> dict[str, str]:
+    """Cheap per-file INPUT content fingerprint: md5 over (file size,
+    last 64 KB). The parquet footer lives in that tail and carries
+    row-group offsets + statistics, so any rewrite of the data changes
+    it; the read is O(64 KB) per file regardless of data size. This is
+    the corpus-run analogue of lineage.write_catalog_manifest's
+    per-grid hashes: corpus_version() covers PARAMETERS, this covers
+    the DATA — without it a rewritten documents.parquet would resume
+    against stale phase-A candidates and silently emit the old
+    corpus."""
+    out = {}
+    for p in sorted(str(x) for x in ([paths] if isinstance(paths, (str, bytes))
+                                     else paths)):
+        size = os.path.getsize(p)
+        with open(p, "rb") as f:
+            f.seek(max(0, size - 65536))
+            tail = f.read()
+        h = hashlib.md5()
+        h.update(str(size).encode())
+        h.update(tail)
+        out[os.path.basename(p)] = h.hexdigest()[:16]
+    return out
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(lineage_dir(out_dir), CORPUS_MANIFEST_NAME)
+
+
+def _load_manifest(out_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(out_dir)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_manifest(out_dir: str, inputs: dict[str, str]) -> None:
+    os.makedirs(lineage_dir(out_dir), exist_ok=True)
+    final = _manifest_path(out_dir)
+    tmp = final + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"schema_version": CORPUS_SCHEMA_VERSION,
+                   "inputs": inputs}, f, indent=1, sort_keys=True)
+    os.replace(tmp, final)
 
 
 def _records(ldir: str, version: str) -> dict[str, dict]:
@@ -155,6 +205,23 @@ def run_corpus_checkpointed(
     final_dir = os.path.join(out_dir, "final")
     ldir_a = os.path.join(lineage_dir(out_dir), "phaseA")
     ldir_b = os.path.join(lineage_dir(out_dir), "phaseB")
+
+    # Input-data staleness gate (corpus_version covers parameters only):
+    # a rewritten documents.parquet invalidates EVERY record — phase A
+    # read it, and every phase-B bucket spans every shard. The manifest
+    # is (re)written BEFORE any work so a mid-run crash resumes
+    # consistently; a dir from a pre-manifest run is honored as-is and
+    # gains the manifest now.
+    fps = input_fingerprints(doc_path)
+    man = _load_manifest(out_dir)
+    if man is not None and man.get("inputs") != fps:
+        shutil.rmtree(ldir_a, ignore_errors=True)
+        shutil.rmtree(ldir_b, ignore_errors=True)
+        # the persisted probe vocabulary derives from the same input
+        for p in os.listdir(out_dir):
+            if p.startswith("_probe.") and p.endswith(".parquet"):
+                os.unlink(os.path.join(out_dir, p))
+    _write_manifest(out_dir, fps)
 
     # ---------------------------------------------------- phase A ---
     done_a = _records(ldir_a, version)
