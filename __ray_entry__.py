@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textops.q_token_count_bpe,
         "gopher_quality": textops.q_gopher_quality,
         "seq_chunk": textops.q_seq_chunk,
+        "tpch_q6": relational.q_tpch_q6,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

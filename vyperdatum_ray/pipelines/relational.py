@@ -431,6 +431,60 @@ GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
 
+def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style forecasting-revenue query: the pure
+    filter-and-global-sum shape. Only the four predicate/measure
+    columns leave storage (column-pruned read); each batch reduces to a
+    single partial row so the final exchange carries one row per block.
+    Discount is compared in integer cents (idisc BETWEEN 2 AND 4) so
+    the float predicate cannot straddle a representation boundary, and
+    revenue is summed in scaled int64 (cents x cents) for
+    partition-order-independent results (same recipe as q_tpch_q1)."""
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch.column("l_shipdate"), lo),
+                    pc.less(batch.column("l_shipdate"), hi)),
+            pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+        )
+        batch = batch.filter(mask)
+        idisc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = (idisc >= 2) & (idisc <= 4)
+        ip = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "p_rev": pa.array([int((ip * idisc[keep]).sum())], type=pa.int64()),
+            "p_n": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    # aggregate() is a bounded collect of exactly one row
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+    return pd.DataFrame({
+        "revenue": [agg["rev"] / 10000.0],
+        "n_items": [int(agg["n"])],
+    })
+
+
+ORACLES["tpch_q6"] = """
+SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24"""
+
+
 def q_top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Per-group top-k: highest-value orders per market segment.
     Per-batch local top-k (a combiner — each batch forwards at most
