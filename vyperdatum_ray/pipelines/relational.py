@@ -586,7 +586,7 @@ def q_region_median(sf_dir: str) -> ray.data.Dataset:
     bincounts over integer millimetre bins make the median EXACT while
     the shuffle carries only (region, bin, count) rows — never the data
     (the scalable exact-quantile trick for fixed-precision values)."""
-    from vyperdatum_ray.pipelines.flagship import flagship_pipeline
+    from vyperdatum_ray.pipelines.flagship import flagship_fused
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater_equal(batch.column("region_index"), 0))
@@ -597,7 +597,9 @@ def q_region_median(sf_dir: str) -> ray.data.Dataset:
         g = g.rename(columns={"size": "p_n"})
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = flagship_pipeline(sf_dir).map_batches(partial, batch_format="pyarrow")
+    # text-free flagship consumer -> the fused stage (one actor call
+    # per shard, no staged-chain object-store hops)
+    ds = flagship_fused(sf_dir).map_batches(partial, batch_format="pyarrow")
 
     # ONE exchange, not two: the per-batch partials go straight to a
     # bounded groupby(region) whose group merges its (zmm, count) rows
