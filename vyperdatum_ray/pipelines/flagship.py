@@ -240,7 +240,9 @@ class FusedReadTransform:
     def __init__(self, catalog_ref, from_datum="ellipse", to_datum="mllw",
                  in_is_height=True, out_is_height=False,
                  include_paths=False, inner=1,
-                 z_col=None, out_frame=None, emit_xy=False, synth_z=False):
+                 z_col=None, out_frame=None, emit_xy=False, synth_z=False,
+                 project_fwd=None, project_inv=None, project_code=None,
+                 with_cells=True):
         self.jt = JoinTransform(
             catalog_ref=catalog_ref, from_datum=from_datum, to_datum=to_datum,
             in_is_height=in_is_height, out_is_height=out_is_height,
@@ -249,6 +251,26 @@ class FusedReadTransform:
         self.include_paths = include_paths
         self.inner = inner
         self.synth_z = synth_z
+        # projected-input roundtrip hook (M1): fwd defines the projected
+        # input from the geocoded coords (as the reference's UTM goldens
+        # do), inv recovers geographic — both run inside the fused call
+        self.project_fwd = project_fwd
+        self.project_inv = project_inv
+        self.project_code = project_code
+        self.with_cells = with_cells
+
+    def _project(self, base: pa.Table) -> pa.Table:
+        lon = base.column("lon").to_numpy(zero_copy_only=False)
+        lat = base.column("lat").to_numpy(zero_copy_only=False)
+        easting, northing = self.project_fwd(lon, lat, self.project_code)
+        rlon, rlat = self.project_inv(easting, northing, self.project_code)
+        return pa.table({
+            "url": base.column("url"),
+            "easting": pa.array(easting, pa.float64()),
+            "northing": pa.array(northing, pa.float64()),
+            "lon": pa.array(rlon, pa.float64()),
+            "lat": pa.array(rlat, pa.float64()),
+        })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -259,13 +281,15 @@ class FusedReadTransform:
             base = keep_geocoded(geocode_batch(t)).select(["url", "lat", "lon"])
             if self.synth_z:
                 base = synth_z_batch(base)
+            if self.project_fwd is not None:
+                base = self._project(base)
             # replication happens BEFORE the transform so every emitted
             # row carries full cell-index + PIP + transform work (the
             # read/geocode amortization matches the old scaling shape;
             # replicating the TRANSFORMED table would make the inner
             # copies zero-cost metadata and fake the throughput)
             for _ in range(self.inner):
-                g = self.jt(cell_index_batch(base))
+                g = self.jt(cell_index_batch(base) if self.with_cells else base)
                 if self.include_paths:
                     g = g.append_column(
                         "path", pa.array([p] * g.num_rows, pa.string()))
@@ -287,6 +311,10 @@ def flagship_fused(
     out_frame: str | None = None,
     emit_xy: bool = False,
     synth_z: bool = False,
+    project_fwd=None,
+    project_inv=None,
+    project_code=None,
+    with_cells: bool = True,
 ) -> ray.data.Dataset:
     """Flagship as a single fused actor-pool stage over shard paths —
     see FusedReadTransform. One ~90%-CPU pool, one path row per task."""
@@ -303,7 +331,9 @@ def flagship_fused(
             "out_is_height": out_is_height,
             "include_paths": include_paths, "inner": inner,
             "z_col": z_col, "out_frame": out_frame, "emit_xy": emit_xy,
-            "synth_z": synth_z,
+            "synth_z": synth_z, "project_fwd": project_fwd,
+            "project_inv": project_inv, "project_code": project_code,
+            "with_cells": with_cells,
         },
         batch_format="pyarrow", batch_size=1,
         concurrency=_pool_size(), num_cpus=1,

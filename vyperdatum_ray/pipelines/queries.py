@@ -195,35 +195,16 @@ def _transform_roundtrip(sf_dir: str, fwd, inv, code: int) -> ray.data.Dataset:
     code)`` — defining the projected input, as the reference's UTM
     goldens do — inverse-projects with ``inv``, then runs the normal
     PIP + datum transform. Used by the UTM path and every registered
-    state-plane roundtrip zone."""
+    state-plane roundtrip zone. Runs on the fused flagship stage (one
+    actor call per shard) with the projection as an in-call hook —
+    fwd/inv are picklable module-level kernels; cell indexing is
+    skipped (the roundtrip output never carries cells)."""
     import pyarrow.compute as pc
 
-    from vyperdatum_ray.pipelines.flagship import JoinTransform, _pool_size
+    from vyperdatum_ray.pipelines.flagship import flagship_fused
 
-    catalog_ref = ray.put(load_catalog(sf_dir))
-
-    def project(batch: pa.Table) -> pa.Table:
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        easting, northing = fwd(lon, lat, code)
-        rlon, rlat = inv(easting, northing, code)
-        return pa.table({
-            "url": batch.column("url"),
-            "easting": pa.array(easting, pa.float64()),
-            "northing": pa.array(northing, pa.float64()),
-            "lon": pa.array(rlon, pa.float64()),
-            "lat": pa.array(rlat, pa.float64()),
-        })
-
-    ds = _geo(sf_dir, GEO_SLIM).map_batches(project, batch_format="pyarrow")
-    ds = ds.map_batches(
-        JoinTransform,
-        fn_constructor_kwargs=dict(
-            catalog_ref=catalog_ref, from_datum="ellipse", to_datum="mllw",
-            in_is_height=True, out_is_height=False,
-        ),
-        batch_format="pyarrow", concurrency=_pool_size(), num_cpus=1,
-    )
+    ds = flagship_fused(sf_dir, project_fwd=fwd, project_inv=inv,
+                        project_code=code, with_cells=False)
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("region_index"), 0)),
         batch_format="pyarrow",
