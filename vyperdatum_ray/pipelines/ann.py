@@ -141,6 +141,13 @@ class IVFScorer:
 
 TRAIN_SAMPLE = 65536  # IVF centroid-training sample cap
 
+# Iterative algorithms (k-means) re-scan their input every pass; inputs
+# whose footer-estimated bytes fit this budget are materialized once so
+# passes scan object-store blocks instead of re-reading parquet. Sized
+# well under a single worker's share of this box's object store; a
+# cluster deployment would set it from per-node store capacity.
+ITER_CACHE_BYTES = 2 << 30
+
 
 def _train_centroids(sf_dir: str, nlist: int, sample_cap: int = TRAIN_SAMPLE) -> np.ndarray:
     """k-means-lite centroids trained on a BOUNDED sample (the first
@@ -694,6 +701,19 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
     dim = cents.shape[1]
     width = k * (dim + 1)
 
+    # iters+1 passes re-execute the same read plan; when the table fits
+    # a bounded object-store budget, materialize ONCE so every pass
+    # scans in-memory blocks instead of re-reading parquet. Past the
+    # budget (the 100-TB case) it falls through to the streaming
+    # re-scan — the memory-safe shape — so this is a bounded cache,
+    # not a corpus materialization.
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    emb_bytes, _ = _footer_stats(f"{sf_dir}/embeddings.parquet")
+    ds_emb = _emb(sf_dir)
+    if emb_bytes <= ITER_CACHE_BYTES:
+        ds_emb = ds_emb.materialize()
+
     @ray.remote
     def _merge(*tabs):
         acc = np.zeros(width, np.float64)
@@ -724,7 +744,7 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
             flat = np.concatenate([sums.ravel(), n.astype(np.float64)])
             return pa.table({"m": pa.array(flat, pa.float64())})
 
-        refs = list(_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+        refs = list(ds_emb.map_batches(partial, batch_format="pyarrow")
                     .to_arrow_refs())
         while len(refs) > 1:
             refs = [_merge.remote(*refs[i:i + 8])
@@ -751,7 +771,7 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 16,
             "dist2": pa.array(d2[np.arange(len(a)), a], pa.float64()),
         })
 
-    return _emb(sf_dir).map_batches(assign_final, batch_format="pyarrow")
+    return ds_emb.map_batches(assign_final, batch_format="pyarrow")
 
 
 PCA_K = 4
