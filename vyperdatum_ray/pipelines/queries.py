@@ -865,6 +865,18 @@ def q_spatial_order(sf_dir: str, shard_shift: int | None = None) -> ray.data.Dat
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
 
+    # the totals pass and the rank pass would each re-execute the
+    # read+geocode chain (lazy plans re-run); cache the SLIM
+    # (url, morton, shard) stream once when its footer-estimated bytes
+    # fit the bounded iterative-cache budget, else stream twice (the
+    # memory-safe 100-TB shape)
+    from vyperdatum_ray.pipelines.ann import ITER_CACHE_BYTES
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    url_bytes, n_rows = _footer_stats(pages_paths(sf_dir), ["url"])
+    if url_bytes + 24 * n_rows <= ITER_CACHE_BYTES:
+        prepped = prepped.materialize()
+
     def shard_partial(t: pa.Table) -> pa.Table:
         us, cnt = np.unique(
             t.column("shard").to_numpy(zero_copy_only=False), return_counts=True)
