@@ -264,13 +264,19 @@ class FusedReadTransform:
         lat = base.column("lat").to_numpy(zero_copy_only=False)
         easting, northing = self.project_fwd(lon, lat, self.project_code)
         rlon, rlat = self.project_inv(easting, northing, self.project_code)
-        return pa.table({
+        out = pa.table({
             "url": base.column("url"),
             "easting": pa.array(easting, pa.float64()),
             "northing": pa.array(northing, pa.float64()),
             "lon": pa.array(rlon, pa.float64()),
             "lat": pa.array(rlat, pa.float64()),
         })
+        # carry any extra columns (e.g. a synthesized z) through the
+        # roundtrip instead of silently dropping them
+        for name in base.column_names:
+            if name not in ("url", "lat", "lon"):
+                out = out.append_column(name, base.column(name))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq

@@ -468,9 +468,11 @@ def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
     # aggregate() is a bounded collect of exactly one row
     agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+    n = int(agg["n"])
+    # SQL parity on an all-empty match: sum() over zero rows is NULL
     return pd.DataFrame({
-        "revenue": [agg["rev"] / 10000.0],
-        "n_items": [int(agg["n"])],
+        "revenue": [agg["rev"] / 10000.0 if n else None],
+        "n_items": [n],
     })
 
 
