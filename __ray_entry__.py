@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": textops.q_gopher_quality,
         "seq_chunk": textops.q_seq_chunk,
         "tpch_q6": relational.q_tpch_q6,
+        "tpch_q5": relational.q_tpch_q5,
+        "tpch_q12": relational.q_tpch_q12,
+        "tpch_q14": relational.q_tpch_q14,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -1,0 +1,57 @@
+"""Salted repartition joins (pipelines/relational.py q_tpch_q5/q12):
+path- and width-independence. The multi-join reshape must produce the
+same rows whether the customer side is broadcast or exchanged, and at
+any forced salt width (every copy of a key shares its salt group)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_q5_exchange_path_matches_broadcast(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q5
+
+    fast = q_tpch_q5(SF)                        # customer fits the budget
+    slow = q_tpch_q5(SF, broadcast_budget=0)    # forced 2-exchange path
+    pd.testing.assert_frame_equal(_canon(fast), _canon(slow))
+    assert len(fast) >= 1
+    assert (fast["revenue"].to_numpy() > 0).all()
+
+
+def test_q5_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q5
+
+    base = _canon(q_tpch_q5(SF))
+    for bits in (1, 3):
+        forced = _canon(q_tpch_q5(SF, salt_bits=bits, broadcast_budget=0))
+        pd.testing.assert_frame_equal(base, forced)
+
+
+def test_q12_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q12
+
+    base = _canon(q_tpch_q12(SF))
+    forced = _canon(q_tpch_q12(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert (base["high_line_count"] + base["low_line_count"] > 0).all()
+
+
+def test_join_salt_bits_widens_with_target():
+    """The width grows as the per-group byte target shrinks (the
+    100-TB guarantee: group payloads stay block-sized at any scale)."""
+    from vyperdatum_ray.pipelines import relational, textops
+
+    path = f"{SF}/lineitem.parquet"
+    cols = ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    default = relational._join_salt_bits(path, cols)
+    total, _ = textops._footer_stats(path, list(cols))
+    tiny_target = max(total // 256, 1)
+    wide = relational._join_salt_bits(path, cols, target_bytes=tiny_target)
+    assert wide > default
+    # the per-group expectation at the derived width meets the target
+    assert (total >> wide) <= tiny_target

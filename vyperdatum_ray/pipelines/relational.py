@@ -710,3 +710,371 @@ sess AS (
   FROM lagd
 )
 SELECT user_id, ts, session_id FROM sess WHERE event_type = 'error'"""
+
+
+# ---- salted repartition joins (the multi-join reshape) --------------
+# Native ``Dataset.join`` spawns a per-join aggregator-actor pool, and
+# two of them in one DAG deadlock at small CPU counts (see
+# q_neardup_jaccard's exchange path and CLAUDE.md). Multi-join queries
+# are instead expressed as UNION + bounded-salt groupby "repartition
+# joins": both legs emit rows keyed by ``salt = key % 2^bits`` (every
+# copy of a key lands in one group), a single groupby(salt) co-locates
+# them, and a vectorized pandas merge inside each group performs the
+# equi-join. The shuffle carries int partials only — never text — and
+# the salt width auto-scales with corpus size via
+# ``textops.dedup_salt_bits`` so each map_groups task stays
+# block-sized at 100 TB.
+
+
+def _join_salt_bits(path: str, columns, floor: int = 4,
+                    target_bytes: int | None = None) -> int:
+    """Salt width for an int-partial repartition join. Same
+    footer-derived widening as ``textops.dedup_salt_bits``, but with a
+    LOWER floor: the text dedups' 10-bit floor exists for payloads
+    that carry documents, while these joins shuffle ~32 B/row of ints
+    — at bench scale 1024 near-empty groups would cost 2048 map_groups
+    Python calls per query for nothing. The width still widens past
+    the floor until the expected per-group payload fits a block."""
+    from vyperdatum_ray.pipelines.textops import (
+        DEDUP_SALT_BITS_CAP, DEDUP_TARGET_GROUP_BYTES, _footer_stats)
+
+    if target_bytes is None:
+        target_bytes = DEDUP_TARGET_GROUP_BYTES
+    total, _ = _footer_stats(path, list(columns))
+    bits = floor
+    while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
+        bits += 1
+    return bits
+
+
+def _dim_pandas(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
+    """Driver-side read of a broadcast-sized dimension table: a plain
+    pyarrow read, not a Ray dataset execution — collecting it to the
+    driver is the point, so the streaming machinery would only add a
+    per-query session round-trip."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
+_LEG_SPEC = {"salt": np.int64, "k": np.int64, "side": np.int8,
+             "code": np.int8, "aux": np.int64}
+
+
+def _leg(salt, k, side: int, code, aux) -> pa.Table:
+    """One repartition-join leg block in the shared union schema."""
+    n = len(k)
+    return pa.table({
+        "salt": pa.array(np.asarray(salt, np.int64), pa.int64()),
+        "k": pa.array(np.asarray(k, np.int64), pa.int64()),
+        "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+        "code": pa.array(np.broadcast_to(np.asarray(code, np.int8), n), pa.int8()),
+        "aux": pa.array(np.broadcast_to(np.asarray(aux, np.int64), n), pa.int64()),
+    })
+
+
+# driver budget for Q5's (custkey -> nation code) broadcast fast path,
+# in estimated customer-table bytes from parquet footers — the same
+# bytes-not-ids discipline as textops' BROADCAST_CAND_CAP. Past it the
+# customer|>orders step becomes a second salted repartition join.
+Q5_BROADCAST_CUST_BYTES = 256 << 20
+
+
+def q_tpch_q5(sf_dir: str, salt_bits: int | None = None,
+              broadcast_budget: int | None = None) -> pd.DataFrame:
+    """TPC-H Q5 (local-supplier revenue by nation): the full
+    multi-join reshape. region|>nation is a driver-side tiny join;
+    supplier (the one genuinely small big-table side, 1/6000th of
+    lineitem) is broadcast as sorted key + int8 nation-code arrays;
+    the orders|>lineitem large-large join (with the
+    c_nationkey = s_nationkey local-supplier equality riding along as
+    an int8 code match) is a salted repartition join (see module note
+    above). The customer|>orders step is a broadcast lookup while the
+    footer-estimated customer bytes fit ``Q5_BROADCAST_CUST_BYTES``,
+    and a second salted repartition join past it — a test forces the
+    exchange path and asserts identical output. Revenue is summed in
+    integer cents x cents for partition-order-independent parity."""
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    n_salt = 1 << salt_bits
+    if broadcast_budget is None:
+        broadcast_budget = Q5_BROADCAST_CUST_BYTES
+    cust_bytes, _ = _footer_stats(f"{sf_dir}/customer.parquet",
+                                  ["c_custkey", "c_nationkey"])
+
+    nation = _dim_pandas(sf_dir, "nation")
+    region = _dim_pandas(sf_dir, "region")
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"].sort_values("n_nationkey")
+    nat_keys = asia["n_nationkey"].to_numpy(np.int64)       # <= 25 rows
+    nat_names = asia["n_name"].tolist()
+
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nat_keys)].sort_values("s_suppkey")
+    s_code = np.searchsorted(nat_keys, supp["s_nationkey"].to_numpy(np.int64))
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        s_code.astype(np.int8)))
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(nk, nat_keys)
+        code = np.searchsorted(nat_keys, nk[keep]).astype(np.int8)
+        ck = ck[keep]
+        return _leg(ck % n_salt, ck, 0, code, 0)
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi)))
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return _leg(ck % n_salt, ck, 1, -1, ok)
+
+    def join_custkey(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["side"] == 0, ["k", "code"]]
+        right = df.loc[df["side"] == 1, ["k", "aux"]]
+        m = right.merge(left, on="k")
+        ok = m["aux"].to_numpy(np.int64)
+        # emit ARROW in the exact leg layout: the downstream union with
+        # the arrow line_leg blocks must not mix block types (Ray's
+        # sort-boundary sampler asserts on a pandas/arrow mix)
+        return _leg(ok % n_salt, ok, 0, m["code"].to_numpy(np.int8), 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        skeys, scodes = ray.get(supp_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(sk, skeys)
+        code = scodes[np.searchsorted(skeys, sk[keep])]
+        ip = np.rint(batch.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep],
+            "code": code, "rev": ip * (100 - idisc),
+        }).groupby(["k", "code"], as_index=False).agg(rev=("rev", "sum"))
+        return _leg(g["k"].to_numpy(np.int64) % n_salt,
+                    g["k"].to_numpy(np.int64), 1,
+                    g["code"].to_numpy(np.int8), g["rev"].to_numpy(np.int64))
+
+    def join_orderkey(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["side"] == 0, ["k", "code"]]
+        right = df.loc[df["side"] == 1, ["k", "code", "aux"]]
+        # inner merge on (orderkey, nation code): the code equality IS
+        # the c_nationkey = s_nationkey local-supplier condition
+        m = right.merge(left, on=["k", "code"])
+        g = m.groupby("code", as_index=False).agg(p_rev=("aux", "sum"))
+        return g.astype({"code": np.int8, "p_rev": np.int64})
+
+    orders_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    if cust_bytes <= broadcast_budget:
+        # fast path: one exchange — the ASIA (custkey -> code) map is
+        # broadcast once and orders resolve their nation code inline
+        cmap = _dim_pandas(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        cmap = cmap[cmap["c_nationkey"].isin(nat_keys)].sort_values("c_custkey")
+        c_code = np.searchsorted(
+            nat_keys, cmap["c_nationkey"].to_numpy(np.int64)).astype(np.int8)
+        cust_ref = ray.put((cmap["c_custkey"].to_numpy(np.int64), c_code))
+
+        def orders_leg_bcast(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.and_(
+                pc.greater_equal(batch.column("o_orderdate"), lo),
+                pc.less(batch.column("o_orderdate"), hi)))
+            ckeys, ccodes = ray.get(cust_ref)
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            keep = _member_sorted(ck, ckeys)
+            code = ccodes[np.searchsorted(ckeys, ck[keep])]
+            ok = ok[keep]
+            return _leg(ok % n_salt, ok, 0, code, 0)
+
+        ok_nation = _t(sf_dir, "orders", orders_cols).map_batches(
+            orders_leg_bcast, batch_format="pyarrow")
+    else:
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_leg, batch_format="pyarrow")
+        orders = _t(sf_dir, "orders", orders_cols).map_batches(
+            orders_leg, batch_format="pyarrow")
+        ok_nation = cust.union(orders).groupby("salt").map_groups(
+            join_custkey, batch_format="pandas")
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    agg = ok_nation.union(line).groupby("salt").map_groups(
+        join_orderkey, batch_format="pandas"
+    ).groupby("code").aggregate(Sum("p_rev", alias_name="rev")).to_pandas()
+
+    out = pd.DataFrame({
+        "n_name": [nat_names[c] for c in agg["code"]],
+        "revenue": agg["rev"].to_numpy(np.int64) / 10000.0,
+    }).sort_values(["revenue", "n_name"], ascending=[False, True])
+    return out.reset_index(drop=True)
+
+
+ORACLES["tpch_q5"] = """
+SELECT n_name,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+
+def q_tpch_q12(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q12-style priority line counts, adapted to the fixture's
+    columns (no l_shipmode/commitdate here): per l_returnflag, how many
+    1996-shipped lines belong to high-priority (1-URGENT/2-HIGH)
+    orders vs the rest. Orders carry only (orderkey, is_high int8)
+    through the salted repartition join — the shape where NEITHER side
+    fits a broadcast and the shuffle payload is a few ints per row."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet", ("l_orderkey", "l_returnflag"))
+    n_salt = 1 << salt_bits
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        is_high = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int8)
+        return pa.table({
+            "salt": pa.array(ok % n_salt, pa.int64()),
+            "k": pa.array(ok, pa.int64()),
+            "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+            "flag": pa.array(np.full(len(ok), "", object), pa.string()),
+            "aux": pa.array(is_high.astype(np.int64), pa.int64()),
+        })
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "flag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+        }).groupby(["k", "flag"], as_index=False).size()
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "flag": pa.array(g["flag"].to_numpy(object), pa.string()),
+            "aux": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def join_counts(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["side"] == 0, ["k", "aux"]].rename(columns={"aux": "hi"})
+        right = df.loc[df["side"] == 1, ["k", "flag", "aux"]]
+        m = right.merge(left, on="k")
+        g = m.groupby(["flag", "hi"], as_index=False).agg(p_n=("aux", "sum"))
+        return g.astype({"hi": np.int64, "p_n": np.int64})
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    agg = orders.union(line).groupby("salt").map_groups(
+        join_counts, batch_format="pandas"
+    ).groupby(["flag", "hi"]).aggregate(Sum("p_n", alias_name="n")).to_pandas()
+
+    # <= 6 (flag, hi) rows: driver-side pivot to the Q12 output shape
+    piv = agg.pivot_table(index="flag", columns="hi", values="n",
+                          aggfunc="sum", fill_value=0)
+    flags = sorted(piv.index)
+    return pd.DataFrame({
+        "l_returnflag": flags,
+        "high_line_count": [int(piv.loc[f].get(1, 0)) for f in flags],
+        "low_line_count": [int(piv.loc[f].get(0, 0)) for f in flags],
+    })
+
+
+ORACLES["tpch_q12"] = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def q_tpch_q14(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 promo-revenue ratio: part's (partkey -> is-promo bit)
+    is broadcast as sorted key + int8 arrays (part is ~1/30th of
+    lineitem; past a broadcast budget the salted repartition join of
+    q_tpch_q5 is the fallback shape), lineitem streams through a
+    column-pruned filter, and each block reduces to one (promo, total)
+    integer-cents partial row — the exchange carries one row per
+    block. The final ratio divides two exact int sums in the same IEEE
+    op order as the SQL (int -> double, x100.0, /)."""
+    part = _dim_pandas(sf_dir, "part", ["p_partkey", "p_type"])
+    part = part.sort_values("p_partkey")
+    promo_ref = ray.put((part["p_partkey"].to_numpy(np.int64),
+                         (part["p_type"].to_numpy(object) == "PROMO"
+                          ).astype(np.int8)))
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        pkeys, ppromo = ray.get(promo_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(pkeys) == 0 or len(pk) == 0:
+            return pa.table({"p_promo": pa.array([0], pa.int64()),
+                             "p_total": pa.array([0], pa.int64())})
+        pos = np.clip(np.searchsorted(pkeys, pk), 0, len(pkeys) - 1)
+        match = pkeys[pos] == pk
+        promo = match & (ppromo[pos] == 1)
+        ip = np.rint(batch.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        rev = ip * (100 - idisc)
+        return pa.table({
+            "p_promo": pa.array([int(rev[promo].sum())], pa.int64()),
+            "p_total": pa.array([int(rev[match].sum())], pa.int64()),
+        })
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("p_promo", alias_name="promo"), Sum("p_total", alias_name="total"))
+    total = int(agg["total"])
+    return pd.DataFrame({"promo_revenue": [
+        100.0 * float(agg["promo"]) / float(total) if total else None]})
+
+
+ORACLES["tpch_q14"] = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+    ELSE 0 END)
+  / sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'"""
