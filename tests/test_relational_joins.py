@@ -55,3 +55,15 @@ def test_join_salt_bits_widens_with_target():
     assert wide > default
     # the per-group expectation at the derived width meets the target
     assert (total >> wide) <= tiny_target
+
+
+def test_semi_anti_join_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_semi_anti_join
+
+    base = _canon(q_semi_anti_join(SF))
+    forced = _canon(q_semi_anti_join(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    # both join classes are exercised by the fixture: some order has a
+    # >90-day-late line (semi) and some order has no lines (anti)
+    assert base["n_late"].sum() > 0
+    assert base["n_no_lines"].sum() > 0

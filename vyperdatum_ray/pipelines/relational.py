@@ -1078,3 +1078,96 @@ SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+
+def q_semi_anti_join(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """Distributed semi-join AND anti-join in one pass: per order
+    priority, how many orders have ANY line shipped more than 90 days
+    after the order date (EXISTS), and how many have no lines at all
+    (NOT EXISTS). The EXISTS predicate is pushed into an associative
+    per-orderkey partial — max(l_shipdate) — so lineitem ships one row
+    per (orderkey, block) through the salted exchange and the reducer
+    never sees individual lines; the anti-join falls out of the same
+    left merge (no matching max). Dates travel as whole-day int64
+    (the fixture timestamps are day-aligned) so the 90-day comparison
+    survives pandas' int->float merge upcast exactly."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet", ("l_orderkey", "l_shipdate"))
+    n_salt = 1 << salt_bits
+    US_PER_DAY = 86_400_000_000
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY
+        return pa.table({
+            "salt": pa.array(ok % n_salt, pa.int64()),
+            "k": pa.array(ok, pa.int64()),
+            "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+            "flag": batch.column("o_orderpriority"),
+            "aux": pa.array(od, pa.int64()),
+        })
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "ship": sd,
+        }).groupby("k", as_index=False).agg(ship=("ship", "max"))
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "flag": pa.array(np.full(len(k), "", object), pa.string()),
+            "aux": pa.array(g["ship"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["side"] == 0, ["k", "flag", "aux"]].rename(
+            columns={"aux": "odate"})
+        # max of per-block maxes: an orderkey's lines may span blocks
+        right = df.loc[df["side"] == 1, ["k", "aux"]].groupby(
+            "k", as_index=False).agg(ship=("aux", "max"))
+        m = left.merge(right, on="k", how="left")
+        ship = m["ship"].to_numpy(np.float64)      # NaN = no lines
+        has_lines = ~np.isnan(ship)
+        late = has_lines & (ship > (m["odate"].to_numpy(np.int64) + 90))
+        g = pd.DataFrame({"flag": m["flag"], "late": late,
+                          "none": ~has_lines}).groupby(
+            "flag", as_index=False).agg(
+            p_n=("late", "size"), p_late=("late", "sum"),
+            p_none=("none", "sum"))
+        return g.astype({"p_n": np.int64, "p_late": np.int64,
+                         "p_none": np.int64})
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    agg = orders.union(line).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas"
+    ).groupby("flag").aggregate(
+        Sum("p_n", alias_name="n_orders"),
+        Sum("p_late", alias_name="n_late"),
+        Sum("p_none", alias_name="n_no_lines")).to_pandas()
+
+    agg = agg.rename(columns={"flag": "o_orderpriority"})
+    agg = agg.sort_values("o_orderpriority").reset_index(drop=True)
+    return agg.astype({"n_orders": np.int64, "n_late": np.int64,
+                       "n_no_lines": np.int64})
+
+
+ORACLES["semi_anti_join"] = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(sum(CASE WHEN NOT EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
