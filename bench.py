@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "raster_transform",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "semi_anti_join",
     "orders_customer_join",
     "shuffle_join",
     "sessionize",
