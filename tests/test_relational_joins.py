@@ -67,3 +67,52 @@ def test_semi_anti_join_salt_width_independence(ray_session):
     # >90-day-late line (semi) and some order has no lines (anti)
     assert base["n_late"].sum() > 0
     assert base["n_no_lines"].sum() > 0
+
+
+def test_empty_match_dtype_parity(ray_session, tmp_path):
+    """On a corpus where the filters match nothing, the engine's
+    output dtypes must still match DuckDB's (NULL sums come back
+    float64 NaN, empty counts come back int64) — the comparator
+    hashes dtypes, not just values."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfempty"
+    d.mkdir()
+    ts = datetime.datetime(1990, 1, 1)          # outside every window
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_quantity": pa.array([1.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0], pa.float64()),
+        "l_discount": pa.array([0.03], pa.float64()),
+        "l_shipdate": pa.array([ts], pa.timestamp("us")),
+        "l_returnflag": pa.array(["A"], pa.string()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_type": pa.array(["PROMO"], pa.string()),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_orderpriority": pa.array(["2-HIGH"], pa.string()),
+    }), d / "orders.parquet")
+
+    from vyperdatum_ray.pipelines.relational import (ORACLES, q_tpch_q6,
+                                                     q_tpch_q12, q_tpch_q14)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM parquet_scan('{d}/{t}.parquet')")
+    for name, fn in (("tpch_q6", q_tpch_q6), ("tpch_q12", q_tpch_q12),
+                     ("tpch_q14", q_tpch_q14)):
+        mine = fn(str(d))
+        theirs = con.execute(ORACLES[name]).df()
+        assert len(mine) == len(theirs), name
+        for c in mine.columns:
+            assert mine[c].dtype.kind == theirs[c].dtype.kind, (
+                name, c, mine[c].dtype, theirs[c].dtype)

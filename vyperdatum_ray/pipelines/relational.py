@@ -469,9 +469,11 @@ def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
     n = int(agg["n"])
-    # SQL parity on an all-empty match: sum() over zero rows is NULL
+    # SQL parity on an all-empty match: sum() over zero rows is NULL,
+    # which DuckDB surfaces as float64 NaN — np.nan keeps the column
+    # float64 (None would make it object and fail the dtype-kind gate)
     return pd.DataFrame({
-        "revenue": [agg["rev"] / 10000.0 if n else None],
+        "revenue": [agg["rev"] / 10000.0 if n else np.nan],
         "n_items": [n],
     })
 
@@ -736,15 +738,11 @@ def _join_salt_bits(path: str, columns, floor: int = 4,
     Python calls per query for nothing. The width still widens past
     the floor until the expected per-group payload fits a block."""
     from vyperdatum_ray.pipelines.textops import (
-        DEDUP_SALT_BITS_CAP, DEDUP_TARGET_GROUP_BYTES, _footer_stats)
+        DEDUP_TARGET_GROUP_BYTES, dedup_salt_bits)
 
     if target_bytes is None:
         target_bytes = DEDUP_TARGET_GROUP_BYTES
-    total, _ = _footer_stats(path, list(columns))
-    bits = floor
-    while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
-        bits += 1
-    return bits
+    return dedup_salt_bits(path, list(columns), target_bytes, floor=floor)
 
 
 def _dim_pandas(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
@@ -755,10 +753,6 @@ def _dim_pandas(sf_dir: str, name: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
-
-
-_LEG_SPEC = {"salt": np.int64, "k": np.int64, "side": np.int8,
-             "code": np.int8, "aux": np.int64}
 
 
 def _leg(salt, k, side: int, code, aux) -> pa.Table:
@@ -996,14 +990,24 @@ def q_tpch_q12(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         join_counts, batch_format="pandas"
     ).groupby(["flag", "hi"]).aggregate(Sum("p_n", alias_name="n")).to_pandas()
 
-    # <= 6 (flag, hi) rows: driver-side pivot to the Q12 output shape
+    # <= 6 (flag, hi) rows: driver-side pivot to the Q12 output shape.
+    # A no-match aggregate comes back as a COLUMNLESS empty frame, so
+    # pivot on a typed empty instead of KeyError-ing on 'n'.
+    if agg.empty:
+        agg = pd.DataFrame({"flag": pd.array([], dtype=object),
+                            "hi": np.array([], np.int64),
+                            "n": np.array([], np.int64)})
     piv = agg.pivot_table(index="flag", columns="hi", values="n",
                           aggfunc="sum", fill_value=0)
     flags = sorted(piv.index)
+    # explicit int64 arrays: an empty flags list would otherwise give
+    # float64 count columns vs the oracle's empty BIGINT columns
     return pd.DataFrame({
-        "l_returnflag": flags,
-        "high_line_count": [int(piv.loc[f].get(1, 0)) for f in flags],
-        "low_line_count": [int(piv.loc[f].get(0, 0)) for f in flags],
+        "l_returnflag": pd.array(flags, dtype=object),
+        "high_line_count": np.array(
+            [int(piv.loc[f].get(1, 0)) for f in flags], np.int64),
+        "low_line_count": np.array(
+            [int(piv.loc[f].get(0, 0)) for f in flags], np.int64),
     })
 
 
@@ -1064,8 +1068,10 @@ def q_tpch_q14(sf_dir: str) -> pd.DataFrame:
     agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("p_promo", alias_name="promo"), Sum("p_total", alias_name="total"))
     total = int(agg["total"])
+    # np.nan (not None) on an empty match: keeps the column float64
+    # like DuckDB's NULL-as-NaN, so the dtype-kind gate still matches
     return pd.DataFrame({"promo_revenue": [
-        100.0 * float(agg["promo"]) / float(total) if total else None]})
+        100.0 * float(agg["promo"]) / float(total) if total else np.nan]})
 
 
 ORACLES["tpch_q14"] = """

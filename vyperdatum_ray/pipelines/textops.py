@@ -86,15 +86,18 @@ def _footer_stats(paths, columns=None) -> tuple[int, int]:
 
 
 def dedup_salt_bits(paths, columns=None,
-                    target_bytes: int = DEDUP_TARGET_GROUP_BYTES) -> int:
+                    target_bytes: int = DEDUP_TARGET_GROUP_BYTES,
+                    floor: int = DEDUP_SALT_BITS_FLOOR) -> int:
     """Salt width for a bounded-salt dedup whose shuffle payload is the
     uncompressed bytes of ``columns`` in ``paths``: the smallest width
-    >= the floor with expected per-group payload <= ``target_bytes``.
-    Deliberately uncached: the footer sample is O(64) metadata reads,
-    and a path-keyed cache would serve stale widths after an in-place
+    >= ``floor`` with expected per-group payload <= ``target_bytes``.
+    The text dedups use the default floor; int-partial repartition
+    joins (relational._join_salt_bits) pass a lower one. Deliberately
+    uncached: the footer sample is O(64) metadata reads, and a
+    path-keyed cache would serve stale widths after an in-place
     fixture/corpus rewrite in a long-lived process."""
     total, _ = _footer_stats(paths, list(columns) if columns else None)
-    bits = DEDUP_SALT_BITS_FLOOR
+    bits = floor
     while (total >> bits) > target_bytes and bits < DEDUP_SALT_BITS_CAP:
         bits += 1
     return bits
