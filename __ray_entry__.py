@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textops.q_stratified_sample,
         "jsonl_roundtrip": textops.q_jsonl_roundtrip,
         "lang_source_pivot": textops.q_lang_source_pivot,
+        "lang_source_rollup": textops.q_lang_source_rollup,
         "source_corr": textops.q_source_corr,
         "lang_source_unpivot": textops.q_lang_source_unpivot,
         "bigram_logprob": textops.q_bigram_logprob,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
                                                   BIGRAM_LOGPROB_ORACLE,
                                                   JSONL_ROUNDTRIP_ORACLE,
                                                   LANG_SOURCE_PIVOT_ORACLE,
+                                                  LANG_SOURCE_ROLLUP_ORACLE,
                                                   LANG_SOURCE_UNPIVOT_ORACLE,
                                                   SOURCE_CORR_ORACLE,
                                                   STRATIFIED_SAMPLE_ORACLE,
@@ -324,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
         "lang_source_pivot": LANG_SOURCE_PIVOT_ORACLE,
+        "lang_source_rollup": LANG_SOURCE_ROLLUP_ORACLE,
         "source_corr": SOURCE_CORR_ORACLE,
         "lang_source_unpivot": LANG_SOURCE_UNPIVOT_ORACLE,
         "bigram_logprob": BIGRAM_LOGPROB_ORACLE,

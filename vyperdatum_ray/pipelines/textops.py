@@ -2007,6 +2007,56 @@ SELECT source,
 FROM documents GROUP BY source"""
 
 
+def q_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level (ROLLUP) aggregate: doc counts and char sums per
+    (lang, source), per lang, and the grand total, in ONE exchange —
+    the subtotal levels are derived from the finest-level aggregate on
+    the driver (a bounded |langs x sources| collect), never from a
+    second scan. Subtotal positions use the '(all)' sentinel on both
+    sides so the rollup NULLs never meet the comparator's object/NaN
+    ambiguity."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        }).groupby(["lang", "source"], as_index=False).agg(
+            p_n=("chars", "size"), p_chars=("chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (_docs(sf_dir, ["lang", "source", "n_chars"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"]).aggregate(
+                Sum("p_n", alias_name="n_docs"),
+                Sum("p_chars", alias_name="sum_chars"))).to_pandas()
+    fine = fine.astype({"n_docs": np.int64, "sum_chars": np.int64})
+
+    by_lang = fine.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    by_lang["source"] = "(all)"
+    total = pd.DataFrame({
+        "lang": ["(all)"], "source": ["(all)"],
+        "n_docs": np.array([fine["n_docs"].sum()], np.int64),
+        "sum_chars": np.array([fine["sum_chars"].sum()], np.int64),
+    })
+    out = pd.concat(
+        [fine, by_lang[["lang", "source", "n_docs", "sum_chars"]], total],
+        ignore_index=True)
+    out = out[["lang", "source", "n_docs", "sum_chars"]]
+    return out.sort_values(["lang", "source"]).reset_index(drop=True).astype(
+        {"n_docs": np.int64, "sum_chars": np.int64})
+
+
+LANG_SOURCE_ROLLUP_ORACLE = """
+SELECT COALESCE(lang, '(all)') AS lang,
+  COALESCE(source, '(all)') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"""
+
+
 def q_source_corr(sf_dir: str) -> ray.data.Dataset:
     """Per-source Pearson correlation between document char and token
     counts — the distributed-statistics shape: per-batch INTEGER power
