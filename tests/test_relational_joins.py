@@ -116,3 +116,14 @@ def test_empty_match_dtype_parity(ray_session, tmp_path):
         for c in mine.columns:
             assert mine[c].dtype.kind == theirs[c].dtype.kind, (
                 name, c, mine[c].dtype, theirs[c].dtype)
+
+
+def test_q18_salt_width_and_threshold(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q18
+
+    base = _canon(q_tpch_q18(SF))
+    forced = _canon(q_tpch_q18(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    # HAVING actually prunes: every surviving order clears the bar
+    assert (base["total_qty"] > 200.0).all()
+    assert 0 < len(base) <= 100

@@ -1177,3 +1177,109 @@ SELECT o_orderpriority,
       SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
     THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+def q_tpch_q18(sf_dir: str, threshold_qty: float = 200.0,
+               salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q18 (large-volume orders): HAVING over a high-cardinality
+    groupby, then an enrich-join for only the survivors. Per-orderkey
+    quantity sums reduce vectorized inside bounded-salt groups (never
+    one Ray group per orderkey); the HAVING filter applies IN-GROUP so
+    only survivors leave the exchange — their count is bounded by the
+    predicate's selectivity (a documented data-dependent collect; past
+    a driver budget the salted repartition join of q_tpch_q5 is the
+    fallback shape). Orders stream against the broadcast survivor map
+    with a per-block top-100, the driver merges <=100 x blocks
+    candidates, and only the final 100 rows' customers are named via a
+    streamed broadcast filter. Quantities sum in integer hundredths."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet", ("l_orderkey", "l_quantity"))
+    n_salt = 1 << salt_bits
+    ithr = int(round(threshold_qty * 100))
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "q": np.rint(batch.column("l_quantity")
+                         .to_numpy(zero_copy_only=False) * 100.0
+                         ).astype(np.int64),
+        }).groupby("k", as_index=False).agg(q=("q", "sum"))
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "q": pa.array(g["q"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def having_filter(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False).agg(q=("q", "sum"))
+        g = g[g["q"] > ithr]
+        return g.astype({"k": np.int64, "q": np.int64})
+
+    surv = (_t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(qty_partial, batch_format="pyarrow")
+            .groupby("salt").map_groups(having_filter, batch_format="pandas")
+            ).to_pandas().sort_values("k")
+    surv_ref = ray.put((surv["k"].to_numpy(np.int64),
+                        surv["q"].to_numpy(np.int64)))
+
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
+
+    def orders_top(batch: pa.Table) -> pa.Table:
+        skeys, sq = ray.get(surv_ref)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(ok, skeys)
+        batch = batch.filter(pa.array(keep))
+        ok = ok[keep]
+        df = pd.DataFrame({
+            "o_orderkey": ok,
+            "o_custkey": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+            "o_orderdate": batch.column("o_orderdate").to_numpy(zero_copy_only=False),
+            "o_totalprice": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+            "iq": sq[np.searchsorted(skeys, ok)],
+        })
+        # a block's local top-100 (global ordering) cannot miss a
+        # global top-100 row
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(100)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (_t(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(orders_top, batch_format="pyarrow")).to_pandas()
+    top = cand.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True]).head(100)
+
+    # name ONLY the winners: broadcast their <=100 custkeys and stream
+    # customer through a filter instead of collecting the table
+    wanted = np.unique(top["o_custkey"].to_numpy(np.int64))
+    wanted_ref = ray.put(wanted)
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = _member_sorted(ck, ray.get(wanted_ref))
+        return batch.filter(pa.array(keep))
+
+    names = (_t(sf_dir, "customer", ["c_custkey", "c_name"])
+             .map_batches(name_filter, batch_format="pyarrow")).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+    return pd.DataFrame({
+        "c_name": out["c_name"].to_numpy(object),
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "o_orderdate": out["o_orderdate"].to_numpy(),
+        "o_totalprice": out["o_totalprice"].to_numpy(np.float64),
+        "total_qty": out["iq"].to_numpy(np.int64) / 100.0,
+    })
+
+
+ORACLES["tpch_q18"] = """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+  sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 20000
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
