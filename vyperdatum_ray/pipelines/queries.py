@@ -103,29 +103,27 @@ def q_extent(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _with_pip_region(sf_dir: str) -> ray.data.Dataset:
-    from vyperdatum_ray.stages.region_join import RegionJoiner
-
+def _fused_pip_named(sf_dir: str) -> ray.data.Dataset:
+    """Fused flagship stream with ``region`` renamed from the raw PIP
+    index. The fused output's own ``region`` column names the
+    TRANSFORM-selected ``region_index`` (catalog-order overwrite within
+    grid coverage), which differs from the J2 PIP assignment these
+    queries report — so rebuild the name from ``pip_region_index``."""
     catalog = load_catalog(sf_dir)
     names = np.array([""] + catalog.region_names, dtype=object)
-    catalog_ref = ray.put(catalog)
-    ds = _geo(sf_dir, GEO_SLIM).map_batches(
-        RegionJoiner,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref},
-        batch_format="pyarrow",
-        concurrency=4,  # fixed: the (1, N) autoscale ramp serialized short jobs
-        num_cpus=1,
-    )
 
-    def name_region(batch: pa.Table) -> pa.Table:
+    def name_pip(batch: pa.Table) -> pa.Table:
         idx = batch.column("pip_region_index").to_numpy(zero_copy_only=False)
-        return batch.append_column("region", pa.array(names[idx.astype(np.int64) + 1], pa.string()))
+        named = pa.array(names[idx.astype(np.int64) + 1], pa.string())
+        return batch.drop_columns(["region"]).append_column("region", named)
 
-    return ds.map_batches(name_region, batch_format="pyarrow")
+    # text-free flagship consumer -> fused stage (CLAUDE.md rule)
+    return flagship_fused(sf_dir).map_batches(name_pip, batch_format="pyarrow")
 
 
 def q_region_join(sf_dir: str) -> ray.data.Dataset:
-    return _with_pip_region(sf_dir).select_columns(["url", "region", "pip_region_index"])
+    return _fused_pip_named(sf_dir).select_columns(
+        ["url", "region", "pip_region_index"])
 
 
 def q_region_counts(sf_dir: str) -> ray.data.Dataset:
@@ -136,7 +134,7 @@ def q_region_counts(sf_dir: str) -> ray.data.Dataset:
         reg, cnt = np.unique(t.column("region").to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"region": pa.array(reg, pa.string()), "partial_n": cnt.astype(np.int64)})
 
-    ds = _with_pip_region(sf_dir).map_batches(partial, batch_format="pyarrow")
+    ds = _fused_pip_named(sf_dir).map_batches(partial, batch_format="pyarrow")
     return ds.groupby("region").aggregate(Sum("partial_n", alias_name="n_points"))
 
 
