@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14": relational.q_tpch_q14,
         "semi_anti_join": relational.q_semi_anti_join,
         "tpch_q18": relational.q_tpch_q18,
+        "bloom_semi_join": relational.q_bloom_semi_join,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

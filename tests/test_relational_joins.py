@@ -127,3 +127,28 @@ def test_q18_salt_width_and_threshold(ray_session):
     # HAVING actually prunes: every surviving order clears the bar
     assert (base["total_qty"] > 200.0).all()
     assert 0 < len(base) <= 100
+
+
+def test_bloom_semi_join_exact_under_high_fp(ray_session):
+    """A deliberately tiny filter (64 bits -> nearly everything
+    collides) must not change the result: false positives only
+    inflate the verify exchange, never the answer."""
+    from vyperdatum_ray.pipelines.relational import q_bloom_semi_join
+
+    base = q_bloom_semi_join(SF)
+    tiny = q_bloom_semi_join(SF, m_bits=64)
+    pd.testing.assert_frame_equal(base, tiny)
+    assert int(base["n_items"].iloc[0]) > 0
+
+
+def test_bloom_filter_membership_and_fp_rate():
+    from vyperdatum_ray.pipelines.relational import _bloom_set, _bloom_test
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(0, 1 << 40, 5000).astype(np.int64)
+    others = rng.randint(1 << 41, 1 << 42, 20000).astype(np.int64)
+    m_bits = 1 << 17                     # ~26 bits/key: FP well under 1%
+    words = _bloom_set(members, m_bits)
+    assert _bloom_test(members, words, m_bits).all()   # no false negatives
+    fp = _bloom_test(others, words, m_bits).mean()
+    assert fp < 0.02, fp

@@ -1283,3 +1283,174 @@ JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
 HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 20000
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+
+# Bloom semi-join pushdown: when the build side's key set outgrows a
+# broadcast, ship a fixed-size BIT ARRAY instead of the keys. False
+# positives are then removed by the exact salted exchange — which now
+# carries only the bloom survivors (true matches + ~FP rate), not the
+# whole probe side. Filter size derives from the footer-estimated
+# build-side row count (~16 bits/key, 2 hash probes => ~2-3% FP),
+# capped at a broadcastable 16 MiB.
+BLOOM_MAX_BITS = 1 << 27
+
+
+def _bloom_hashes(keys: np.ndarray, m_bits: int):
+    """Two splitmix64-derived probe positions per key (vectorized)."""
+    x = keys.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    mask = np.uint64(m_bits - 1)
+    return (x & mask), ((x >> np.uint64(32)) & mask)
+
+
+def _bloom_set(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    words = np.zeros(m_bits // 64, np.uint64)
+    for h in _bloom_hashes(keys, m_bits):
+        np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (h & np.uint64(63)))
+    return words
+
+
+def _bloom_test(keys: np.ndarray, words: np.ndarray, m_bits: int) -> np.ndarray:
+    hit = np.ones(len(keys), bool)
+    for h in _bloom_hashes(keys, m_bits):
+        bit = np.uint64(1) << (h & np.uint64(63))
+        hit &= (words[(h >> np.uint64(6)).astype(np.int64)] & bit) != 0
+    return hit
+
+
+def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
+                      m_bits: int | None = None) -> pd.DataFrame:
+    """Semi-join pushdown via a DISTRIBUTED-built Bloom filter:
+    revenue and count of lineitems belonging to high-priority 1996
+    orders. The build side's orderkeys never collect to the driver —
+    each orders block emits a partial bit array, a bounded-salt
+    groupby ORs them in two levels (<=64 partials reach the driver),
+    and the merged filter broadcasts once. Lineitem probes it per
+    batch, and only the survivors (true matches + ~2% false positives)
+    enter the exact salted verify exchange, where the orders leg's
+    true keys eliminate the FPs. Exact by construction — the bloom
+    only cuts exchange traffic; result is oracle-hash-identical."""
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_extendedprice", "l_discount"))
+    n_salt = 1 << salt_bits
+    if m_bits is None:
+        _, est_orders = _footer_stats(f"{sf_dir}/orders.parquet",
+                                      ["o_orderkey"])
+        m_bits = 1 << int(np.clip(np.ceil(np.log2(max(est_orders, 1) * 16)),
+                                  16, np.log2(BLOOM_MAX_BITS)))
+    n_words = m_bits // 64
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
+    PRI = ("1-URGENT", "2-HIGH")
+
+    def orders_keys(batch: pa.Table) -> np.ndarray:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi)))
+        pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return ok[np.isin(pri, PRI)]
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = orders_keys(batch)
+        words = _bloom_set(keys, m_bits)
+        return pa.table({
+            "bsalt": pa.array([int(keys[0]) % 64 if len(keys) else 0],
+                              pa.int64()),
+            "words": pa.array([words.tobytes()], pa.large_binary()),
+        })
+
+    def bloom_or(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_words, np.uint64)
+        for b in df["words"]:
+            acc |= np.frombuffer(b, np.uint64)
+        return pd.DataFrame({"words": [acc.tobytes()]})
+
+    orders_cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    # two-level OR-reduce: block partials -> <=64 salt groups -> driver
+    parts = (_t(sf_dir, "orders", orders_cols)
+             .map_batches(bloom_partial, batch_format="pyarrow")
+             .groupby("bsalt").map_groups(bloom_or, batch_format="pandas")
+             ).to_pandas()
+    bloom = np.zeros(n_words, np.uint64)
+    for b in parts["words"]:
+        bloom |= np.frombuffer(b, np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        keep = _bloom_test(ok, ray.get(bloom_ref), m_bits)
+        ip = np.rint(batch.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False)[keep] * 100.0
+                     ).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount")
+                        .to_numpy(zero_copy_only=False)[keep] * 100.0
+                        ).astype(np.int64)
+        g = pd.DataFrame({
+            "k": ok[keep], "rev": ip * (100 - idisc),
+        }).groupby("k", as_index=False).agg(rev=("rev", "sum"),
+                                            n=("rev", "size"))
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        k = orders_keys(batch).astype(np.int64)
+        z = np.zeros(len(k), np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "rev": pa.array(z, pa.int64()),
+            "n": pa.array(z, pa.int64()),
+        })
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        true_keys = df.loc[df["side"] == 0, ["k"]]
+        m = df.loc[df["side"] == 1].merge(true_keys, on="k")
+        return pd.DataFrame({
+            "p_rev": np.array([m["rev"].sum()], np.int64),
+            "p_n": np.array([m["n"].sum()], np.int64),
+        })
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", orders_cols).map_batches(
+        orders_leg, batch_format="pyarrow")
+    agg = orders.union(line).groupby("salt").map_groups(
+        verify, batch_format="pandas").aggregate(
+        Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+
+    n = int(agg["n"])
+    return pd.DataFrame({
+        "revenue": [agg["rev"] / 10000.0 if n else np.nan],
+        "n_items": [n],
+    })
+
+
+ORACLES["bloom_semi_join"] = """
+SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')"""
