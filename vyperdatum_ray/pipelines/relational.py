@@ -1327,9 +1327,10 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
     """Semi-join pushdown via a DISTRIBUTED-built Bloom filter:
     revenue and count of lineitems belonging to high-priority 1996
     orders. The build side's orderkeys never collect to the driver —
-    each orders block emits a partial bit array, a bounded-salt
-    groupby ORs them in two levels (<=64 partials reach the driver),
-    and the merged filter broadcasts once. Lineitem probes it per
+    each orders block ships its deduped set-bit POSITIONS, one bounded
+    groupby densifies each <=2^24-bit position range, and the driver
+    assembles exactly the filter's m/8 bytes regardless of block
+    count. The merged filter broadcasts once; lineitem probes it per
     batch, and only the survivors (true matches + ~2% false positives)
     enter the exact salted verify exchange, where the orders leg's
     true keys eliminate the FPs. Exact by construction — the bloom
@@ -1360,30 +1361,45 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
         ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         return ok[np.isin(pri, PRI)]
 
-    def bloom_partial(batch: pa.Table) -> pa.Table:
+    # Distributed build by POSITION RANGE, not by OR-ing dense block
+    # partials: a dense filter-sized partial per block would make the
+    # reduce payload grow with block count (10^6 blocks x 16 MiB =
+    # 16 TB of partials at corpus scale). Instead each block ships its
+    # deduped set-bit positions (<= 16 B/key — no more than any build-
+    # side shuffle), ONE bounded groupby co-locates each position
+    # range, each shard densifies its <= 2^24-bit slice, and the
+    # driver assembles exactly m_bits/8 bytes no matter how many
+    # blocks fed it.
+    shard_bits = min(m_bits, 1 << 24)
+
+    def bloom_positions(batch: pa.Table) -> pa.Table:
         keys = orders_keys(batch)
-        words = _bloom_set(keys, m_bits)
+        h1, h2 = _bloom_hashes(keys, m_bits)
+        pos = np.unique(np.concatenate([h1, h2])) if len(keys) else \
+            np.empty(0, np.uint64)
         return pa.table({
-            "bsalt": pa.array([int(keys[0]) % 64 if len(keys) else 0],
+            "shard": pa.array((pos // np.uint64(shard_bits)).astype(np.int64),
                               pa.int64()),
-            "words": pa.array([words.tobytes()], pa.large_binary()),
+            "pos": pa.array(pos, pa.uint64()),
         })
 
-    def bloom_or(df: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(n_words, np.uint64)
-        for b in df["words"]:
-            acc |= np.frombuffer(b, np.uint64)
-        return pd.DataFrame({"words": [acc.tobytes()]})
+    def shard_dense(df: pd.DataFrame) -> pd.DataFrame:
+        sid = int(df["shard"].iloc[0])
+        rel = df["pos"].to_numpy(np.uint64) - np.uint64(sid * shard_bits)
+        words = np.zeros(shard_bits // 64, np.uint64)
+        np.bitwise_or.at(words, (rel >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (rel & np.uint64(63)))
+        return pd.DataFrame({"shard": [sid], "words": [words.tobytes()]})
 
     orders_cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    # two-level OR-reduce: block partials -> <=64 salt groups -> driver
     parts = (_t(sf_dir, "orders", orders_cols)
-             .map_batches(bloom_partial, batch_format="pyarrow")
-             .groupby("bsalt").map_groups(bloom_or, batch_format="pandas")
+             .map_batches(bloom_positions, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_dense, batch_format="pandas")
              ).to_pandas()
     bloom = np.zeros(n_words, np.uint64)
-    for b in parts["words"]:
-        bloom |= np.frombuffer(b, np.uint64)
+    wps = shard_bits // 64
+    for sid, b in zip(parts["shard"], parts["words"]):
+        bloom[int(sid) * wps:(int(sid) + 1) * wps] |= np.frombuffer(b, np.uint64)
     bloom_ref = ray.put(bloom)
 
     def line_leg(batch: pa.Table) -> pa.Table:
