@@ -117,8 +117,10 @@ def _fused_pip_named(sf_dir: str) -> ray.data.Dataset:
         named = pa.array(names[idx.astype(np.int64) + 1], pa.string())
         return batch.drop_columns(["region"]).append_column("region", named)
 
-    # text-free flagship consumer -> fused stage (CLAUDE.md rule)
-    return flagship_fused(sf_dir).map_batches(name_pip, batch_format="pyarrow")
+    # text-free flagship consumer -> fused stage (CLAUDE.md rule);
+    # with_cells=False: these queries never read the S2/H3/tile columns
+    return flagship_fused(sf_dir, with_cells=False).map_batches(
+        name_pip, batch_format="pyarrow")
 
 
 def q_region_join(sf_dir: str) -> ray.data.Dataset:

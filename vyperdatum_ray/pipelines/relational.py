@@ -1240,7 +1240,9 @@ def q_tpch_q18(sf_dir: str, threshold_qty: float = 200.0,
             "iq": sq[np.searchsorted(skeys, ok)],
         })
         # a block's local top-100 (global ordering) cannot miss a
-        # global top-100 row
+        # global top-100 row. Assumes o_custkey ⊆ c_custkey (standard
+        # FK, verified for the fixtures): a customer-less order could
+        # otherwise hold a block slot the enrich merge later vacates.
         df = df.sort_values(["o_totalprice", "o_orderkey"],
                             ascending=[False, True]).head(100)
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -1248,12 +1250,12 @@ def q_tpch_q18(sf_dir: str, threshold_qty: float = 200.0,
     cand = (_t(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
             .map_batches(orders_top, batch_format="pyarrow")).to_pandas()
-    top = cand.sort_values(["o_totalprice", "o_orderkey"],
-                           ascending=[False, True]).head(100)
 
-    # name ONLY the winners: broadcast their <=100 custkeys and stream
-    # customer through a filter instead of collecting the table
-    wanted = np.unique(top["o_custkey"].to_numpy(np.int64))
+    # name the CANDIDATES (<=100 x blocks custkeys, still tiny), and
+    # enrich BEFORE the final limit: the oracle's join runs pre-LIMIT,
+    # so an order whose customer row is missing must not occupy a
+    # top-100 slot it would lose to the 101st candidate
+    wanted = np.unique(cand["o_custkey"].to_numpy(np.int64))
     wanted_ref = ray.put(wanted)
 
     def name_filter(batch: pa.Table) -> pa.Table:
@@ -1263,9 +1265,9 @@ def q_tpch_q18(sf_dir: str, threshold_qty: float = 200.0,
 
     names = (_t(sf_dir, "customer", ["c_custkey", "c_name"])
              .map_batches(name_filter, batch_format="pyarrow")).to_pandas()
-    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = cand.merge(names, left_on="o_custkey", right_on="c_custkey")
     out = out.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True])
+                          ascending=[False, True]).head(100)
     return pd.DataFrame({
         "c_name": out["c_name"].to_numpy(object),
         "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
@@ -1306,11 +1308,18 @@ def _bloom_hashes(keys: np.ndarray, m_bits: int):
     return (x & mask), ((x >> np.uint64(32)) & mask)
 
 
+def _bloom_scatter(words: np.ndarray, positions: np.ndarray) -> None:
+    """OR the given bit positions into ``words`` in place — the one
+    scatter used by both the single-array build (`_bloom_set`) and the
+    distributed per-shard densify, so the layouts cannot drift."""
+    np.bitwise_or.at(words, (positions >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (positions & np.uint64(63)))
+
+
 def _bloom_set(keys: np.ndarray, m_bits: int) -> np.ndarray:
     words = np.zeros(m_bits // 64, np.uint64)
     for h in _bloom_hashes(keys, m_bits):
-        np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (h & np.uint64(63)))
+        _bloom_scatter(words, h)
     return words
 
 
@@ -1335,23 +1344,16 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
     enter the exact salted verify exchange, where the orders leg's
     true keys eliminate the FPs. Exact by construction — the bloom
     only cuts exchange traffic; result is oracle-hash-identical."""
-    from vyperdatum_ray.pipelines.textops import _footer_stats
-
     if salt_bits is None:
         salt_bits = _join_salt_bits(
             f"{sf_dir}/lineitem.parquet",
             ("l_orderkey", "l_extendedprice", "l_discount"))
     n_salt = 1 << salt_bits
-    if m_bits is None:
-        _, est_orders = _footer_stats(f"{sf_dir}/orders.parquet",
-                                      ["o_orderkey"])
-        m_bits = 1 << int(np.clip(np.ceil(np.log2(max(est_orders, 1) * 16)),
-                                  16, np.log2(BLOOM_MAX_BITS)))
-    n_words = m_bits // 64
 
     lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us"))
     PRI = ("1-URGENT", "2-HIGH")
+    orders_cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
 
     def orders_keys(batch: pa.Table) -> np.ndarray:
         batch = batch.filter(pc.and_(
@@ -1360,6 +1362,24 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
         pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
         ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         return ok[np.isin(pri, PRI)]
+
+    if m_bits is None:
+        # size from the INSERTED key count (~16 bits/key), not the
+        # unfiltered table — one cheap distributed count over the small
+        # side's predicate columns (this is the side the pushdown
+        # exists to avoid shuffling lineitem against, so an extra pass
+        # over it is the right trade)
+        def key_count(batch: pa.Table) -> pa.Table:
+            return pa.table({"p_n": pa.array([len(orders_keys(batch))],
+                                             pa.int64())})
+
+        agg = _t(sf_dir, "orders", orders_cols).map_batches(
+            key_count, batch_format="pyarrow").aggregate(
+            Sum("p_n", alias_name="n"))
+        n_keys = int(agg["n"] or 0)
+        m_bits = 1 << int(np.clip(np.ceil(np.log2(max(n_keys, 1) * 16)),
+                                  16, np.log2(BLOOM_MAX_BITS)))
+    n_words = m_bits // 64
 
     # Distributed build by POSITION RANGE, not by OR-ing dense block
     # partials: a dense filter-sized partial per block would make the
@@ -1387,11 +1407,9 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
         sid = int(df["shard"].iloc[0])
         rel = df["pos"].to_numpy(np.uint64) - np.uint64(sid * shard_bits)
         words = np.zeros(shard_bits // 64, np.uint64)
-        np.bitwise_or.at(words, (rel >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (rel & np.uint64(63)))
+        _bloom_scatter(words, rel)
         return pd.DataFrame({"shard": [sid], "words": [words.tobytes()]})
 
-    orders_cols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
     parts = (_t(sf_dir, "orders", orders_cols)
              .map_batches(bloom_positions, batch_format="pyarrow")
              .groupby("shard").map_groups(shard_dense, batch_format="pandas")
