@@ -510,11 +510,19 @@ def _roundtrip_transform_sql(fx: str, ctes: str, final: str) -> str:
     mirror (UTM and the registered state-plane zones): the roundtrip
     CTE chain supplies ``{final}(url, easting, northing, rlon, rlat)``;
     membership + transform run on the original geo coords (recovered ==
-    originals under the 1e-7 quantization, same identity both sides)."""
+    originals under the 1e-7 quantization, same identity both sides).
+    The emitted easting/northing are re-quantized to cm exactly as the
+    engine's ``FusedReadTransform._roundtrip_projected`` does: both
+    sides recompute the forward with their own libm, and a ~1-ULP
+    sin/cos/exp/ln divergence flips the 0.1 mm rounding for ~1e-6 of
+    points (2 observed at sf0.1) — at cm the residual tie is ~1e-9."""
+    from vyperdatum_ray.core.helmert import sql_rn
+
     return f"""WITH {_geo_cte(fx)},
 {ctes},
 {_memb_cte(fx)}, {_transform_ctes(fx)}
-SELECT g.url, u.easting, u.northing, u.rlon AS lon, u.rlat AS lat,
+SELECT g.url, {sql_rn("u.easting", 2)} AS easting,
+  {sql_rn("u.northing", 2)} AS northing, u.rlon AS lon, u.rlat AS lat,
   w.region, CAST(w.region_ord AS TINYINT) AS region_index, w.z_out, w.unc
 FROM zwin w
 JOIN geo g ON g.url = w.url

@@ -264,10 +264,17 @@ class FusedReadTransform:
         lat = base.column("lat").to_numpy(zero_copy_only=False)
         easting, northing = self.project_fwd(lon, lat, self.project_code)
         rlon, rlat = self.project_inv(easting, northing, self.project_code)
+        # EMITTED projected coords are quantized to cm (the kernels'
+        # 0.1 mm values still feed the inverse): the SQL mirror
+        # recomputes the forward with DuckDB's libm, whose sin/cos/
+        # exp/ln can differ from numpy's by ~1 ULP — at 0.1 mm that
+        # tie flipped 2 of 294k sf0.1 points; at cm the flip needs a
+        # 1-tick 4-decimal straddle exactly on a .005 boundary
+        # (~1e-9/point)
         out = pa.table({
             "url": base.column("url"),
-            "easting": pa.array(easting, pa.float64()),
-            "northing": pa.array(northing, pa.float64()),
+            "easting": pa.array(np.round(easting, 2), pa.float64()),
+            "northing": pa.array(np.round(northing, 2), pa.float64()),
             "lon": pa.array(rlon, pa.float64()),
             "lat": pa.array(rlat, pa.float64()),
         })
