@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_anti_join": relational.q_semi_anti_join,
         "tpch_q18": relational.q_tpch_q18,
         "bloom_semi_join": relational.q_bloom_semi_join,
+        "embedding_centroid": ann.q_embedding_centroid,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50
@@ -199,7 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from vyperdatum_ray.pipelines.ann import dedup_clusters_oracle_sql
+    from vyperdatum_ray.pipelines.ann import (dedup_clusters_oracle_sql,
+                                              embedding_centroid_oracle_sql)
     from vyperdatum_ray.pipelines.relational import ORACLES as REL
     from vyperdatum_ray.pipelines.textops import (CONTAMINATION_ORACLE,
                                                   SAMPLE_DOCUMENTS_ORACLE,
@@ -304,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
         "sample_documents": SAMPLE_DOCUMENTS_ORACLE,
         "dedup_clusters_embedding": dedup_clusters_oracle_sql(),
+        "embedding_centroid": embedding_centroid_oracle_sql(_SF001),
         "distinct_hosts": (
             "SELECT count(DISTINCT regexp_extract(url, 'https?://([^/]+)/', 1)) "
             "AS n_hosts FROM read_parquet('{fx}/pages/*.parquet')".format(fx=fx)

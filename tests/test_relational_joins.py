@@ -152,3 +152,22 @@ def test_bloom_filter_membership_and_fp_rate():
     assert _bloom_test(members, words, m_bits).all()   # no false negatives
     fp = _bloom_test(others, words, m_bits).mean()
     assert fp < 0.02, fp
+
+
+def test_embedding_centroid_matches_numpy(ray_session):
+    """Element-wise per-label centroid equals a single-process numpy
+    reference (same exact-int scaling, so bit-identical floats)."""
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.ann import CENTROID_SCALE, q_embedding_centroid
+
+    out = q_embedding_centroid(SF).to_pandas().sort_values(
+        ["label", "dim"]).reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    scaled = np.rint(mat * CENTROID_SCALE).astype(np.int64)
+    for lbl, grp in t.groupby("label"):
+        ref = scaled[grp.index].sum(0) / (len(grp) * CENTROID_SCALE)
+        got = out.loc[out["label"] == lbl, "centroid"].to_numpy()
+        assert (got == ref).all()
+        assert (out.loc[out["label"] == lbl, "n_vecs"] == len(grp)).all()

@@ -852,3 +852,82 @@ def q_pca_embeddings(sf_dir: str, k: int = PCA_K) -> ray.data.Dataset:
         return pa.table(cols)
 
     return _emb(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+# exact power-of-two scale for the centroid's order-independent sums:
+# float32 -> float64 conversion is exact and multiplying by 2^40 only
+# shifts the exponent, so round(v * 2^40) is computed on IDENTICAL
+# doubles by numpy and DuckDB — the int64 sums are then exact and
+# partition-order independent (the same discipline as integer-cents
+# money, extended to float32 payloads)
+CENTROID_SCALE = 2.0 ** 40
+
+
+def q_embedding_centroid(sf_dir: str) -> ray.data.Dataset:
+    """Per-label element-wise embedding centroid (vector-column
+    aggregation): each batch reduces to (label, dim, scaled-int sum,
+    count) partials — the exchange carries labels x dims rows per
+    block, never vectors — and one bounded groupby merges them. Output
+    is LONG format (label, dim, centroid, n_vecs) so the SQL mirror
+    can express the same element-wise mean with a range cross-join."""
+    import pyarrow.parquet as pq
+
+    # fixed dim from one row-group's first row (footer-adjacent read)
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]).column(0)
+    dim = len(first[0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        scaled = np.rint(flat * CENTROID_SCALE).astype(np.int64).reshape(
+            len(labels), dim)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim).astype(np.int64), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                            pa.int64()),
+            "p_sum": pa.array(sums.reshape(-1), pa.int64()),
+            "p_n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "dim"]).aggregate(Sum("p_sum", alias_name="s"),
+                                    Sum("p_n", alias_name="n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        lbl = batch.column("label").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": pa.array(lbl.astype(np.int64), pa.int64()),
+            "dim": batch.column("dim"),
+            "centroid": pa.array(s / (n * CENTROID_SCALE), pa.float64()),
+            "n_vecs": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def embedding_centroid_oracle_sql(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]).column(0)
+    dim = len(first[0])
+    return f"""
+SELECT CAST(label AS BIGINT) AS label, CAST(d.i AS BIGINT) AS dim,
+  CAST(sum(CAST(round(CAST(embedding[d.i + 1] AS DOUBLE)
+                      * 1099511627776.0, 0) AS BIGINT)) AS DOUBLE)
+    / (count(*) * 1099511627776.0) AS centroid,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings, (SELECT unnest(range({dim})) AS i) d
+GROUP BY label, d.i"""
