@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": relational.q_tpch_q18,
         "bloom_semi_join": relational.q_bloom_semi_join,
         "embedding_centroid": ann.q_embedding_centroid,
+        "tpch_q13": relational.q_tpch_q13,
+        "tpch_q16": relational.q_tpch_q16,
+        "tpch_q22": relational.q_tpch_q22,
+        "min_cost_supplier": relational.q_min_cost_supplier,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -171,3 +171,88 @@ def test_embedding_centroid_matches_numpy(ray_session):
         got = out.loc[out["label"] == lbl, "centroid"].to_numpy()
         assert (got == ref).all()
         assert (out.loc[out["label"] == lbl, "n_vecs"] == len(grp)).all()
+
+
+def test_q13_left_join_zero_fill(ray_session):
+    """Customers with no qualifying orders appear as a c_count=0
+    bucket — the left-outer semantics an inner join would drop — and
+    the distribution is salt-width independent."""
+    from vyperdatum_ray.pipelines.relational import q_tpch_q13
+
+    base = _canon(q_tpch_q13(SF))
+    forced = _canon(q_tpch_q13(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert (base.loc[base["c_count"] == 0, "custdist"] > 0).all()
+    assert len(base.loc[base["c_count"] == 0]) == 1
+    # every customer lands in exactly one bucket
+    import pyarrow.parquet as pq
+    n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    assert int(base["custdist"].sum()) == n_cust
+
+
+def test_q16_two_level_distinct(ray_session):
+    """supplier_cnt never exceeds the global supplier count, and the
+    two-level distinct exchange is width-independent."""
+    from vyperdatum_ray.pipelines.relational import q_tpch_q16
+
+    base = _canon(q_tpch_q16(SF))
+    forced = _canon(q_tpch_q16(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+    import pyarrow.parquet as pq
+    n_supp = pq.read_metadata(f"{SF}/supplier.parquet").num_rows
+    assert (base["supplier_cnt"] >= 1).all()
+    assert (base["supplier_cnt"] <= n_supp).all()
+
+
+def test_q22_threshold_is_exact(ray_session):
+    """The broadcast scalar threshold keeps exactly the customers a
+    single-process integer-cents reference keeps."""
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_tpch_q22
+
+    base = _canon(q_tpch_q22(SF))
+    forced = _canon(q_tpch_q22(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cents = np.rint(cust["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+    pos = cents > 0
+    urgent = set(orders.loc[orders["o_orderpriority"].str.startswith("1"),
+                            "o_custkey"])
+    keep = (cents * int(pos.sum()) > int(cents[pos].sum())) & \
+        ~cust["c_custkey"].isin(urgent).to_numpy()
+    ref = cust[keep].groupby("c_mktsegment", as_index=False).agg(
+        numcust=("c_custkey", "size"))
+    got = base[["c_mktsegment", "numcust"]].reset_index(drop=True)
+    ref = ref.sort_values("c_mktsegment").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, ref.astype({"numcust": np.int64}))
+
+
+def test_min_cost_supplier_argmin_tiebreak(ray_session):
+    """The per-part argmin is total: at the minimum price the smallest
+    suppkey wins, across any salt width, and the enrich name matches
+    the supplier dimension row."""
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_min_cost_supplier
+
+    base = _canon(q_min_cost_supplier(SF).to_pandas())
+    forced = _canon(q_min_cost_supplier(SF, salt_bits=1).to_pandas())
+    pd.testing.assert_frame_equal(base, forced)
+
+    line = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    ic = np.rint(line["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+    ref = pd.DataFrame({"k": line["l_partkey"], "ic": ic,
+                        "sk": line["l_suppkey"]}).sort_values(
+        ["k", "ic", "sk"]).drop_duplicates("k")
+    assert len(base) == len(ref)
+    m = base.merge(ref, left_on="l_partkey", right_on="k")
+    assert (m["best_suppkey"] == m["sk"]).all()
+    assert (np.rint(m["min_price"] * 100).astype(np.int64) == m["ic"]).all()
+    supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    sm = base.merge(supp, left_on="best_suppkey", right_on="s_suppkey")
+    assert (sm["best_supplier"] == sm["s_name"]).all()

@@ -1488,3 +1488,351 @@ WHERE l_orderkey IN (
   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     AND o_orderdate >= TIMESTAMP '1996-01-01'
     AND o_orderdate < TIMESTAMP '1997-01-01')"""
+
+
+def q_tpch_q13(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the LEFT OUTER
+    join shape, join-free. Customers who placed NO qualifying (urgent)
+    orders must still appear with c_count = 0 — the classic left-join
+    zero-fill that an inner repartition join silently drops. Orders
+    pre-count per custkey INSIDE each block (the exchange carries one
+    (custkey, count) partial per block, never order rows); the customer
+    leg rides the same salted union, and the in-group reduce left-merges
+    counts onto the full customer slice with NaN->0. Each group emits a
+    PARTIAL histogram (c_count, p_dist) so the final exchange is
+    bounded by the distinct-count domain, not customer cardinality."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderpriority"))
+    n_salt = 1 << salt_bits
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.starts_with(batch.column("o_orderpriority"), "1"))
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(ck, return_counts=True)
+        return pa.table({
+            "salt": pa.array(keys % n_salt, pa.int64()),
+            "k": pa.array(keys, pa.int64()),
+            "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "k": pa.array(ck, pa.int64()),
+            "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            "cnt": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["side"] == 0, ["k"]]
+        right = df.loc[df["side"] == 1, ["k", "cnt"]].groupby(
+            "k", as_index=False).agg(cnt=("cnt", "sum"))
+        m = left.merge(right, on="k", how="left")
+        # NaN = customer with no qualifying orders -> count 0
+        cc = np.nan_to_num(m["cnt"].to_numpy(np.float64)).astype(np.int64)
+        vals, dist = np.unique(cc, return_counts=True)
+        return pd.DataFrame({"c_count": vals,
+                             "p_dist": dist.astype(np.int64)})
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey"]
+              ).map_batches(cust_leg, batch_format="pyarrow")
+    agg = cust.union(orders).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").groupby("c_count").aggregate(
+        Sum("p_dist", alias_name="custdist")).to_pandas()
+
+    agg = agg.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return agg.astype({"c_count": np.int64, "custdist": np.int64})
+
+
+ORACLES["tpch_q13"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority LIKE '1%'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+def q_tpch_q16(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q16 (supplier count per part attribute; adapted — the
+    fixtures have no partsupp, so lineitem supplies the part->supplier
+    pairs). COUNT(DISTINCT) per group as a two-level distinct exchange:
+    exchange 1 is keyed on partkey (lineitem ships per-block-deduped
+    (partkey, suppkey) pairs; the filtered part leg ships one attribute
+    row per partkey) and emits the matched DISTINCT
+    (brand, type, size, suppkey) quads; the same suppkey can reach a
+    given attribute group from different partkeys in DIFFERENT salt
+    groups, so a second bounded exchange keyed on a deterministic
+    row hash dedups quads globally before counting — partial counts
+    per attribute group, tiny final groupby-sum."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet", ("l_partkey", "l_suppkey"))
+    n_salt = 1 << salt_bits
+    sizes = np.array(Q16_SIZES, np.int64)
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        ptype = batch.column("p_type").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (brand != "Brand#11") & np.isin(size, sizes)
+        pk = pk[keep]
+        return pa.table({
+            "salt": pa.array(pk % n_salt, pa.int64()),
+            "k": pa.array(pk, pa.int64()),
+            "side": pa.array(np.zeros(len(pk), np.int8), pa.int8()),
+            "brand": pa.array(brand[keep], pa.string()),
+            "ptype": pa.array(ptype[keep], pa.string()),
+            "size": pa.array(size[keep], pa.int64()),
+            "suppkey": pa.array(np.zeros(len(pk), np.int64), pa.int64()),
+        })
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            "suppkey": batch.column("l_suppkey").to_numpy(
+                zero_copy_only=False),
+        }).drop_duplicates()
+        k = g["k"].to_numpy(np.int64)
+        n = len(k)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "brand": pa.array(np.full(n, "", object), pa.string()),
+            "ptype": pa.array(np.full(n, "", object), pa.string()),
+            "size": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "suppkey": pa.array(g["suppkey"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def attach_attrs(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df.loc[df["side"] == 0, ["k", "brand", "ptype", "size"]]
+        pairs = df.loc[df["side"] == 1, ["k", "suppkey"]].drop_duplicates()
+        m = pairs.merge(parts, on="k")       # inner: unfiltered parts drop
+        quads = m[["brand", "ptype", "size", "suppkey"]].drop_duplicates()
+        # deterministic row hash (fixed siphash key, no PYTHONHASHSEED)
+        h = pd.util.hash_pandas_object(quads, index=False).to_numpy()
+        quads = quads.assign(
+            salt2=(h % np.uint64(n_salt)).astype(np.int64))
+        return quads
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        quads = df[["brand", "ptype", "size", "suppkey"]].drop_duplicates()
+        g = quads.groupby(["brand", "ptype", "size"], as_index=False).agg(
+            p_cnt=("suppkey", "size"))
+        return g.astype({"size": np.int64, "p_cnt": np.int64})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    agg = part.union(line).groupby("salt").map_groups(
+        attach_attrs, batch_format="pandas").groupby("salt2").map_groups(
+        count_partial, batch_format="pandas").groupby(
+        ["brand", "ptype", "size"]).aggregate(
+        Sum("p_cnt", alias_name="supplier_cnt")).to_pandas()
+
+    agg = agg.rename(columns={"brand": "p_brand", "ptype": "p_type",
+                              "size": "p_size"})
+    if agg.empty:
+        return pd.DataFrame({"p_brand": pd.Series([], object),
+                             "p_type": pd.Series([], object),
+                             "p_size": pd.Series([], np.int64),
+                             "supplier_cnt": pd.Series([], np.int64)})
+    agg = agg.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    return agg.astype({"p_size": np.int64, "supplier_cnt": np.int64})
+
+
+ORACLES["tpch_q16"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11' AND p_size IN (1,5,9,13,17,21,25,29)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def q_tpch_q22(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q22 (global-customer-insight; adapted to the fixture
+    schema — mktsegment plays the country-code role and the anti side
+    is urgent orders): a SCALAR SUBQUERY broadcast composed with an
+    anti-join. Pass 1 computes the global positive-balance mean as one
+    distributed (count, cents-sum) aggregate; the comparison
+    ``acctbal > avg`` is evaluated as ``cents * n_pos > total_cents``
+    in int64 on BOTH sides, so the threshold is exact regardless of
+    partition order or float division. Only the qualifying customers
+    enter the salted anti-join exchange against per-block-deduped
+    urgent-order custkeys; survivors reduce to per-segment
+    (count, cents) partials."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderpriority"))
+    n_salt = 1 << salt_bits
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        pos = cents > 0
+        return pa.table({
+            "p_n": pa.array([int(pos.sum())], pa.int64()),
+            "p_cents": pa.array([int(cents[pos].sum())], pa.int64()),
+        })
+
+    cust_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    stats = _t(sf_dir, "customer", ["c_acctbal"]).map_batches(
+        bal_partial, batch_format="pyarrow").aggregate(
+        Sum("p_n", alias_name="n_pos"), Sum("p_cents", alias_name="cents"))
+    n_pos = int(stats["n_pos"] or 0)
+    total_cents = int(stats["cents"] or 0)
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        keep = cents * n_pos > total_cents
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "k": pa.array(ck, pa.int64()),
+            "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            "seg": batch.column("c_mktsegment").filter(pa.array(keep)),
+            "cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.starts_with(batch.column("o_orderpriority"), "1"))
+        ck = np.unique(batch.column("o_custkey").to_numpy(
+            zero_copy_only=False))
+        n = len(ck)
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "k": pa.array(ck, pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "seg": pa.array(np.full(n, "", object), pa.string()),
+            "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df.loc[df["side"] == 0, ["k", "seg", "cents"]]
+        anti = ~left["k"].isin(df.loc[df["side"] == 1, "k"])
+        g = left[anti].groupby("seg", as_index=False).agg(
+            p_n=("k", "size"), p_cents=("cents", "sum"))
+        return g.astype({"p_n": np.int64, "p_cents": np.int64})
+
+    cust = _t(sf_dir, "customer", cust_cols).map_batches(
+        cust_leg, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    agg = cust.union(orders).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").groupby("seg").aggregate(
+        Sum("p_n", alias_name="numcust"),
+        Sum("p_cents", alias_name="cents")).to_pandas()
+
+    if agg.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], object),
+                             "numcust": pd.Series([], np.int64),
+                             "totacctbal": pd.Series([], np.float64)})
+    out = pd.DataFrame({
+        "c_mktsegment": agg["seg"],
+        "numcust": agg["numcust"].astype(np.int64),
+        "totacctbal": agg["cents"].to_numpy(np.int64) / 100.0,
+    })
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORACLES["tpch_q22"] = """
+WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+    sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS total_cents
+  FROM customer WHERE CAST(round(c_acctbal*100, 0) AS BIGINT) > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+  sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer, s
+WHERE CAST(round(c_acctbal*100, 0) AS BIGINT) * s.n_pos > s.total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority LIKE '1%')
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+
+def q_min_cost_supplier(sf_dir: str,
+                        salt_bits: int | None = None) -> ray.data.Dataset:
+    """Per-part cheapest supplier (TPC-H Q2's argmin-join core over the
+    fixture schema): ARGMIN per group with a deterministic tie-break,
+    then a broadcast dimension enrich. Each lineitem block reduces to
+    one (partkey, min-cents, suppkey) candidate per partkey via a
+    lexicographic sort (price cents, then suppkey — cents ordering ==
+    float ordering for 2-decimal money, and the tie-break makes the
+    argmin total); the salted exchange re-runs the same reduce across
+    blocks, so the combiner is associative by construction. Supplier
+    names attach inside the reduce from one ray.put broadcast of the
+    (sorted suppkey -> name) dimension arrays; the result streams out
+    as a Dataset at part-table cardinality — never a driver collect."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_suppkey", "l_extendedprice"))
+    n_salt = 1 << salt_bits
+
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_name"]
+                       ).sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_name"].to_numpy(object)))
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        ic = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            "ic": ic,
+            "sk": batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+        }).sort_values(["k", "ic", "sk"]).drop_duplicates("k")
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "ic": pa.array(g["ic"].to_numpy(np.int64), pa.int64()),
+            "sk": pa.array(g["sk"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        best = df.sort_values(["k", "ic", "sk"]).drop_duplicates("k")
+        skeys, snames = ray.get(supp_ref)
+        idx = np.searchsorted(skeys, best["sk"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "l_partkey": best["k"].to_numpy(np.int64),
+            "min_price": best["ic"].to_numpy(np.int64) / 100.0,
+            "best_suppkey": best["sk"].to_numpy(np.int64),
+            "best_supplier": snames[idx],
+        })
+
+    return _t(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]
+              ).map_batches(line_leg, batch_format="pyarrow"
+                            ).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas")
+
+
+ORACLES["min_cost_supplier"] = """
+WITH t AS (SELECT l_partkey, l_suppkey,
+    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS ic FROM lineitem),
+r AS (SELECT l_partkey, l_suppkey, ic,
+    row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY ic, l_suppkey) AS rn FROM t)
+SELECT r.l_partkey, r.ic / 100.0 AS min_price,
+       r.l_suppkey AS best_suppkey, s_name AS best_supplier
+FROM r JOIN supplier ON s_suppkey = r.l_suppkey
+WHERE rn = 1 ORDER BY l_partkey"""
