@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q22",
+    "min_cost_supplier",
     "semi_anti_join",
     "orders_customer_join",
     "shuffle_join",

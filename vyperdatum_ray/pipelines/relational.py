@@ -1572,9 +1572,14 @@ def q_tpch_q16(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
     row per partkey) and emits the matched DISTINCT
     (brand, type, size, suppkey) quads; the same suppkey can reach a
     given attribute group from different partkeys in DIFFERENT salt
-    groups, so a second bounded exchange keyed on a deterministic
-    row hash dedups quads globally before counting — partial counts
-    per attribute group, tiny final groupby-sum."""
+    groups, so a second bounded exchange hashes the ATTRIBUTE TRIPLE
+    (deterministic fixed-key siphash) — every copy of a quad lands in
+    the same group, where one vectorized dedup + size() emits the
+    FINAL per-attribute supplier count directly (no third string-key
+    aggregate: its Sort over the map_groups' many tiny blocks cost
+    more than both exchanges combined). Per-group payload stays
+    bounded: quads per attribute triple cap at supplier cardinality,
+    and the hash spreads triples across the salted width."""
     if salt_bits is None:
         salt_bits = _join_salt_bits(
             f"{sf_dir}/lineitem.parquet", ("l_partkey", "l_suppkey"))
@@ -1622,27 +1627,29 @@ def q_tpch_q16(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         pairs = df.loc[df["side"] == 1, ["k", "suppkey"]].drop_duplicates()
         m = pairs.merge(parts, on="k")       # inner: unfiltered parts drop
         quads = m[["brand", "ptype", "size", "suppkey"]].drop_duplicates()
-        # deterministic row hash (fixed siphash key, no PYTHONHASHSEED)
-        h = pd.util.hash_pandas_object(quads, index=False).to_numpy()
+        # deterministic ATTRIBUTE-TRIPLE hash (fixed siphash key, no
+        # PYTHONHASHSEED): co-locates every copy of a quad
+        h = pd.util.hash_pandas_object(
+            quads[["brand", "ptype", "size"]], index=False).to_numpy()
         quads = quads.assign(
             salt2=(h % np.uint64(n_salt)).astype(np.int64))
         return quads
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
         quads = df[["brand", "ptype", "size", "suppkey"]].drop_duplicates()
         g = quads.groupby(["brand", "ptype", "size"], as_index=False).agg(
-            p_cnt=("suppkey", "size"))
-        return g.astype({"size": np.int64, "p_cnt": np.int64})
+            supplier_cnt=("suppkey", "size"))
+        return g.astype({"size": np.int64, "supplier_cnt": np.int64})
 
     part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
               ).map_batches(part_leg, batch_format="pyarrow")
     line = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]
               ).map_batches(line_leg, batch_format="pyarrow")
+    # the count_group output IS the (result-sized, attribute-domain-
+    # bounded) answer — collecting it is the query's return contract
     agg = part.union(line).groupby("salt").map_groups(
         attach_attrs, batch_format="pandas").groupby("salt2").map_groups(
-        count_partial, batch_format="pandas").groupby(
-        ["brand", "ptype", "size"]).aggregate(
-        Sum("p_cnt", alias_name="supplier_cnt")).to_pandas()
+        count_group, batch_format="pandas").to_pandas()
 
     agg = agg.rename(columns={"brand": "p_brand", "ptype": "p_type",
                               "size": "p_size"})
