@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": relational.q_tpch_q16,
         "tpch_q22": relational.q_tpch_q22,
         "min_cost_supplier": relational.q_min_cost_supplier,
+        "running_total": relational.q_running_total,
+        "supplier_list_agg": relational.q_supplier_list_agg,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

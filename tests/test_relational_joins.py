@@ -256,3 +256,60 @@ def test_min_cost_supplier_argmin_tiebreak(ray_session):
     supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
     sm = base.merge(supp, left_on="best_suppkey", right_on="s_suppkey")
     assert (sm["best_supplier"] == sm["s_name"]).all()
+
+
+def test_running_total_window(ray_session):
+    """The distributed per-key cumulative window matches a
+    single-process pandas cumsum reference at any salt width, and the
+    per-segment offset subtraction is exact for NEGATIVE amounts too
+    (a monotone-accumulate shortcut would break there)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_running_total
+
+    base = _canon(q_running_total(SF).to_pandas())
+    forced = _canon(q_running_total(SF, salt_bits=1).to_pandas())
+    pd.testing.assert_frame_equal(base, forced)
+
+    o = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    o["run"] = o.groupby("o_custkey")["cents"].cumsum() / 100.0
+    m = base.merge(o[["o_orderkey", "run"]], on="o_orderkey")
+    assert (m["running_spend"] == m["run"]).all()
+
+
+def test_running_total_negative_amounts(ray_session, tmp_path):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_running_total
+
+    d = tmp_path / "neg"
+    d.mkdir()
+    ts = [datetime.datetime(1995, 1, i + 1) for i in range(6)]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 9, 9, 9], pa.int64()),
+        "o_totalprice": pa.array([10.0, -25.5, 4.0, -1.0, -2.0, 3.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array(ts, pa.timestamp("us")),
+    }), d / "orders.parquet")
+    out = q_running_total(str(d), salt_bits=1).to_pandas().sort_values(
+        "o_orderkey").reset_index(drop=True)
+    assert out["running_spend"].tolist() == [
+        10.0, -15.5, -11.5, -1.0, -3.0, 0.0]
+
+
+def test_supplier_list_agg_sorted(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_supplier_list_agg
+
+    out = q_supplier_list_agg(SF)
+    assert (out["n_suppliers"] >= 1).all()
+    for row in out.itertuples():
+        names = row.supplier_list.split(",")
+        assert names == sorted(names)
+        assert len(names) == row.n_suppliers

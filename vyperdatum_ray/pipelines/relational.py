@@ -1843,3 +1843,98 @@ SELECT r.l_partkey, r.ic / 100.0 AS min_price,
        r.l_suppkey AS best_suppkey, s_name AS best_supplier
 FROM r JOIN supplier ON s_suppkey = r.l_suppkey
 WHERE rn = 1 ORDER BY l_partkey"""
+
+
+def q_running_total(sf_dir: str,
+                    salt_bits: int | None = None) -> ray.data.Dataset:
+    """Per-key ordered cumulative window (SUM OVER PARTITION BY
+    custkey ORDER BY orderdate, orderkey): each customer's running
+    spend after every order. The partition key is high-cardinality, so
+    rows exchange into bounded salt groups (every order of a customer
+    shares its group) and the whole window evaluates VECTORIZED inside
+    the group: one lexsort over (custkey, date, orderkey), an int64
+    cents cumsum, then a per-key offset subtraction — no per-customer
+    Python. Cents stay integers until the final /100, so the running
+    values are exact at any partition order. Emits at orders
+    cardinality and streams out as a Dataset."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet",
+            ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+    n_salt = 1 << salt_bits
+
+    def leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "ok": batch.column("o_orderkey"),
+            "od": pc.cast(batch.column("o_orderdate"), pa.int64()),
+            "cents": pa.array(np.rint(batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64), pa.int64()),
+        })
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["ck"].to_numpy(np.int64)
+        ok = df["ok"].to_numpy(np.int64)
+        od = df["od"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        order = np.lexsort((ok, od, ck))
+        ck, ok, od, cents = ck[order], ok[order], od[order], cents[order]
+        run = np.cumsum(cents)
+        # subtract the running total accumulated BEFORE each key's
+        # slice (exact for any sign, unlike a monotone-accumulate)
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        seg_len = np.diff(np.r_[starts, len(ck)])
+        offsets = np.r_[np.int64(0), run[starts[1:] - 1]]
+        run = run - np.repeat(offsets, seg_len)
+        return pd.DataFrame({
+            "o_orderkey": ok, "o_custkey": ck,
+            "running_spend": run / 100.0,
+        })
+
+    return _t(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+              ).map_batches(leg, batch_format="pyarrow"
+                            ).groupby("salt").map_groups(
+        window, batch_format="pandas")
+
+
+ORACLES["running_total"] = """
+SELECT o_orderkey, o_custkey,
+  sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) / 100.0
+    AS running_spend
+FROM orders ORDER BY o_custkey, o_orderkey"""
+
+
+def q_supplier_list_agg(sf_dir: str) -> pd.DataFrame:
+    """Grouped ORDERED list-collect (string_agg): per nation key, the
+    comma-joined sorted supplier names plus the count. The group key
+    domain is bounded (nation cardinality), so a direct
+    groupby.map_groups is the right exchange; the concat itself is the
+    operator's contract — a group's list is inherently group-sized, so
+    this is the one operator family whose output row grows with the
+    corpus (callers wanting bounded rows use the counting/top-k
+    aggregates instead)."""
+
+    def agg_group(df: pd.DataFrame) -> pd.DataFrame:
+        names = np.sort(df["s_name"].to_numpy(object))
+        return pd.DataFrame({
+            "s_nationkey": np.array([df["s_nationkey"].iloc[0]], np.int64),
+            "supplier_list": [",".join(names)],
+            "n_suppliers": np.array([len(names)], np.int64),
+        })
+
+    out = _t(sf_dir, "supplier", ["s_nationkey", "s_name"]).groupby(
+        "s_nationkey").map_groups(
+        agg_group, batch_format="pandas").to_pandas()
+    return out.sort_values("s_nationkey").reset_index(drop=True).astype(
+        {"s_nationkey": np.int64, "n_suppliers": np.int64})
+
+
+ORACLES["supplier_list_agg"] = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+  string_agg(s_name, ',' ORDER BY s_name) AS supplier_list,
+  CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
