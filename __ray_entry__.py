@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": relational.q_min_cost_supplier,
         "running_total": relational.q_running_total,
         "supplier_list_agg": relational.q_supplier_list_agg,
+        "full_outer_join": relational.q_full_outer_join,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

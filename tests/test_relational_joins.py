@@ -313,3 +313,39 @@ def test_supplier_list_agg_sorted(ray_session):
         names = row.supplier_list.split(",")
         assert names == sorted(names)
         assert len(names) == row.n_suppliers
+
+
+def test_full_outer_join_all_three_match_classes(ray_session, tmp_path):
+    """Matched, events-only (NULL balance), and customer-only
+    (zero count) keys all survive the same exchange pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_full_outer_join
+
+    d = tmp_path / "fo"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 5, 5, 5, 99], pa.int64()),
+    }), d / "events.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_acctbal": pa.array([10.5, -3.25, 0.0], pa.float64()),
+    }), d / "customer.parquet")
+    out = q_full_outer_join(str(d), salt_bits=1).to_pandas().sort_values(
+        "ukey").reset_index(drop=True)
+    assert out["ukey"].tolist() == [1, 2, 3, 5, 99]
+    assert out["n_events"].tolist() == [2, 0, 0, 3, 1]
+    assert out["c_acctbal"].tolist()[:3] == [10.5, -3.25, 0.0]
+    assert np.isnan(out["c_acctbal"].to_numpy()[3:]).all()
+
+
+def test_full_outer_join_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_full_outer_join
+
+    base = _canon(q_full_outer_join(SF).to_pandas())
+    forced = _canon(q_full_outer_join(SF, salt_bits=1).to_pandas())
+    pd.testing.assert_frame_equal(base, forced)
+    # fixture customers without events keep a zero count
+    assert (base["n_events"] == 0).any()
+    assert (base["n_events"] > 0).any()

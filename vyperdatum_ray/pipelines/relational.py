@@ -1938,3 +1938,72 @@ SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
   string_agg(s_name, ',' ORDER BY s_name) AS supplier_list,
   CAST(count(*) AS BIGINT) AS n_suppliers
 FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
+
+def q_full_outer_join(sf_dir: str,
+                      salt_bits: int | None = None) -> ray.data.Dataset:
+    """FULL OUTER join (events activity x customer balance on
+    user_id = custkey): keys may exist on either side alone — matched
+    rows carry both payloads, events-only keys get a NULL balance,
+    customer-only keys get an events count of 0. Events pre-count per
+    key inside each block (the exchange ships one partial per
+    (key, block)); the in-group reduce is a vectorized pandas OUTER
+    merge, so both null-sides fall out of the same pass that serves the
+    inner case — no second anti-join sweep. The balance travels as the
+    raw float64 (pure passthrough, no cents roundtrip) for bit parity
+    with the SQL side."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/events.parquet", ("user_id",))
+    n_salt = 1 << salt_bits
+
+    def events_leg(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(uid, return_counts=True)
+        n = len(keys)
+        return pa.table({
+            "salt": pa.array(keys % n_salt, pa.int64()),
+            "k": pa.array(keys, pa.int64()),
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            "bal": pa.array(np.full(n, np.nan), pa.float64()),
+        })
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "k": pa.array(ck, pa.int64()),
+            "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            "cnt": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+            "bal": batch.column("c_acctbal"),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df.loc[df["side"] == 1, ["k", "cnt"]].groupby(
+            "k", as_index=False).agg(cnt=("cnt", "sum"))
+        cu = df.loc[df["side"] == 0, ["k", "bal"]]
+        m = ev.merge(cu, on="k", how="outer")
+        return pd.DataFrame({
+            "ukey": m["k"].to_numpy(np.int64),
+            "n_events": np.nan_to_num(
+                m["cnt"].to_numpy(np.float64)).astype(np.int64),
+            "c_acctbal": m["bal"].to_numpy(np.float64),
+        })
+
+    events = _t(sf_dir, "events", ["user_id"]
+                ).map_batches(events_leg, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]
+              ).map_batches(cust_leg, batch_format="pyarrow")
+    return events.union(cust).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas")
+
+
+ORACLES["full_outer_join"] = """
+WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY user_id)
+SELECT COALESCE(e.user_id, c.c_custkey) AS ukey,
+       COALESCE(e.n_events, 0) AS n_events,
+       c.c_acctbal
+FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY ukey"""
