@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q22",
     "min_cost_supplier",
+    "running_total",
+    "full_outer_join",
     "semi_anti_join",
     "orders_customer_join",
     "shuffle_join",
