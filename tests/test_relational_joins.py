@@ -349,3 +349,29 @@ def test_full_outer_join_salt_width_independence(ray_session):
     # fixture customers without events keep a zero count
     assert (base["n_events"] == 0).any()
     assert (base["n_events"] > 0).any()
+
+
+def test_min_cost_supplier_drops_unknown_suppkey(ray_session, tmp_path):
+    """A suppkey absent from the supplier dimension drops its part row
+    (inner-join semantics), never misattributes a neighbour's name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_min_cost_supplier
+
+    d = tmp_path / "fk"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 99, 10], pa.int64()),
+        "l_extendedprice": pa.array([5.0, 1.0, 7.0], pa.float64()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10], pa.int64()),
+        "s_name": pa.array(["S10"], pa.string()),
+    }), d / "supplier.parquet")
+    out = q_min_cost_supplier(str(d), salt_bits=1).to_pandas().sort_values(
+        "l_partkey").reset_index(drop=True)
+    # part 1's argmin supplier (99) is unknown -> row drops; part 2 stays
+    assert out["l_partkey"].tolist() == [2]
+    assert out["best_supplier"].tolist() == ["S10"]

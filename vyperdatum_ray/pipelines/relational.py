@@ -1818,7 +1818,13 @@ def q_min_cost_supplier(sf_dir: str,
     def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
         best = df.sort_values(["k", "ic", "sk"]).drop_duplicates("k")
         skeys, snames = ray.get(supp_ref)
-        idx = np.searchsorted(skeys, best["sk"].to_numpy(np.int64))
+        sk = best["sk"].to_numpy(np.int64)
+        idx = np.searchsorted(skeys, sk)
+        # inner-join semantics: a suppkey absent from the dimension
+        # drops its row (mirrors the SQL join), never misattributes
+        found = idx < len(skeys)
+        found[found] = skeys[idx[found]] == sk[found]
+        best, idx = best[found], idx[found]
         return pd.DataFrame({
             "l_partkey": best["k"].to_numpy(np.int64),
             "min_price": best["ic"].to_numpy(np.int64) / 100.0,
