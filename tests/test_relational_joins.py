@@ -263,7 +263,6 @@ def test_running_total_window(ray_session):
     single-process pandas cumsum reference at any salt width, and the
     per-segment offset subtraction is exact for NEGATIVE amounts too
     (a monotone-accumulate shortcut would break there)."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from vyperdatum_ray.pipelines.relational import q_running_total

@@ -1499,8 +1499,11 @@ def q_tpch_q13(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
     (custkey, count) partial per block, never order rows); the customer
     leg rides the same salted union, and the in-group reduce left-merges
     counts onto the full customer slice with NaN->0. Each group emits a
-    PARTIAL histogram (c_count, p_dist) so the final exchange is
-    bounded by the distinct-count domain, not customer cardinality."""
+    PARTIAL histogram (c_count, p_dist), so what leaves the exchange is
+    bounded by n_salt x |distinct counts| tiny int rows — summed on the
+    driver (a Ray aggregate here would Sort the map_groups' near-empty
+    blocks for more than the rest of the query costs; see the Q16
+    lesson in BASELINE.md)."""
     if salt_bits is None:
         salt_bits = _join_salt_bits(
             f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderpriority"))
@@ -1511,29 +1514,19 @@ def q_tpch_q13(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
             pc.starts_with(batch.column("o_orderpriority"), "1"))
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
         keys, counts = np.unique(ck, return_counts=True)
-        return pa.table({
-            "salt": pa.array(keys % n_salt, pa.int64()),
-            "k": pa.array(keys, pa.int64()),
-            "side": pa.array(np.ones(len(keys), np.int8), pa.int8()),
-            "cnt": pa.array(counts.astype(np.int64), pa.int64()),
-        })
+        return _leg(keys % n_salt, keys, 1, 0, counts.astype(np.int64))
 
     def cust_leg(batch: pa.Table) -> pa.Table:
         ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "salt": pa.array(ck % n_salt, pa.int64()),
-            "k": pa.array(ck, pa.int64()),
-            "side": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
-            "cnt": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
-        })
+        return _leg(ck % n_salt, ck, 0, 0, np.zeros(len(ck), np.int64))
 
     def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
         left = df.loc[df["side"] == 0, ["k"]]
-        right = df.loc[df["side"] == 1, ["k", "cnt"]].groupby(
-            "k", as_index=False).agg(cnt=("cnt", "sum"))
+        right = df.loc[df["side"] == 1, ["k", "aux"]].groupby(
+            "k", as_index=False).agg(aux=("aux", "sum"))
         m = left.merge(right, on="k", how="left")
         # NaN = customer with no qualifying orders -> count 0
-        cc = np.nan_to_num(m["cnt"].to_numpy(np.float64)).astype(np.int64)
+        cc = np.nan_to_num(m["aux"].to_numpy(np.float64)).astype(np.int64)
         vals, dist = np.unique(cc, return_counts=True)
         return pd.DataFrame({"c_count": vals,
                              "p_dist": dist.astype(np.int64)})
@@ -1542,10 +1535,14 @@ def q_tpch_q13(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
                 ).map_batches(orders_leg, batch_format="pyarrow")
     cust = _t(sf_dir, "customer", ["c_custkey"]
               ).map_batches(cust_leg, batch_format="pyarrow")
-    agg = cust.union(orders).groupby("salt").map_groups(
-        reduce_group, batch_format="pandas").groupby("c_count").aggregate(
-        Sum("p_dist", alias_name="custdist")).to_pandas()
+    parts = cust.union(orders).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
 
+    if parts.empty:                     # empty input -> columnless frame
+        return pd.DataFrame({"c_count": pd.Series([], np.int64),
+                             "custdist": pd.Series([], np.int64)})
+    agg = parts.groupby("c_count", as_index=False).agg(
+        custdist=("p_dist", "sum"))
     agg = agg.sort_values(["custdist", "c_count"],
                           ascending=[False, False]).reset_index(drop=True)
     return agg.astype({"c_count": np.int64, "custdist": np.int64})
@@ -1744,15 +1741,19 @@ def q_tpch_q22(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         cust_leg, batch_format="pyarrow")
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]
                 ).map_batches(orders_leg, batch_format="pyarrow")
-    agg = cust.union(orders).groupby("salt").map_groups(
-        reduce_group, batch_format="pandas").groupby("seg").aggregate(
-        Sum("p_n", alias_name="numcust"),
-        Sum("p_cents", alias_name="cents")).to_pandas()
+    # per-group partials are (segment, count, cents) — n_salt x the tiny
+    # segment domain — so the final sum is a driver-side pandas groupby,
+    # not a Ray aggregate over the map_groups' near-empty blocks (the
+    # Q16 lesson in BASELINE.md)
+    parts = cust.union(orders).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
 
-    if agg.empty:
+    if parts.empty:
         return pd.DataFrame({"c_mktsegment": pd.Series([], object),
                              "numcust": pd.Series([], np.int64),
                              "totacctbal": pd.Series([], np.float64)})
+    agg = parts.groupby("seg", as_index=False).agg(
+        numcust=("p_n", "sum"), cents=("p_cents", "sum"))
     out = pd.DataFrame({
         "c_mktsegment": agg["seg"],
         "numcust": agg["numcust"].astype(np.int64),
