@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": relational.q_running_total,
         "supplier_list_agg": relational.q_supplier_list_agg,
         "full_outer_join": relational.q_full_outer_join,
+        "tpch_q10": relational.q_tpch_q10,
+        "tpch_q15": relational.q_tpch_q15,
+        "tpch_q17": relational.q_tpch_q17,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -374,3 +374,70 @@ def test_min_cost_supplier_drops_unknown_suppkey(ray_session, tmp_path):
     # part 1's argmin supplier (99) is unknown -> row drops; part 2 stays
     assert out["l_partkey"].tolist() == [2]
     assert out["best_supplier"].tolist() == ["S10"]
+
+
+def test_q17_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q17
+
+    base = _canon(q_tpch_q17(SF))
+    forced = _canon(q_tpch_q17(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_q15_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q15
+
+    base = _canon(q_tpch_q15(SF))
+    forced = _canon(q_tpch_q15(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) >= 1
+
+
+def test_q10_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q10
+
+    base = _canon(q_tpch_q10(SF))
+    forced = _canon(q_tpch_q10(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) >= 1
+    # top-k is ordered by revenue desc before canonicalization
+    raw = q_tpch_q10(SF)
+    rev = raw["revenue"].to_numpy()
+    assert (rev[:-1] >= rev[1:]).all()
+
+
+def test_q10_missing_customer_frees_topk_slot(ray_session, tmp_path):
+    """A candidate whose custkey is absent from the customer table must
+    not occupy a top-k slot (the oracle joins BEFORE the LIMIT)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_tpch_q10
+
+    d = tmp_path / "fk10"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([100, 200], pa.int64()),
+        "o_orderdate": pa.array(
+            [pd.Timestamp("1996-02-01")] * 2, pa.timestamp("us")),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["R", "R"], pa.string()),
+    }), d / "lineitem.parquet")
+    # customer 100 (the bigger spender) is missing from the dimension
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([200], pa.int64()),
+        "c_name": pa.array(["C200"], pa.string()),
+        "c_nationkey": pa.array([0], pa.int64()),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["N0"], pa.string()),
+    }), d / "nation.parquet")
+    out = q_tpch_q10(str(d), k=1, salt_bits=1)
+    assert out["c_custkey"].tolist() == [200]
+    assert out["revenue"].tolist() == [50.0]

@@ -2014,3 +2014,309 @@ SELECT COALESCE(e.user_id, c.c_custkey) AS ukey,
        c.c_acctbal
 FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
 ORDER BY ukey"""
+
+
+def q_tpch_q17(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; adapted — brand filter
+    only, the fixtures have no container): a CORRELATED scalar
+    subquery per high-cardinality key. Every line must compare its
+    quantity against 0.2x the mean quantity of ITS OWN part — so the
+    exchange is keyed on partkey and carries the line rows (two int64
+    cents each); all lines of a part land in one salt group, where the
+    per-part totals, the ``qty*5*n < total`` comparison (the 0.2x-mean
+    test in pure int64 — no division on either side) and the matched
+    price sum all happen vectorized. Only (sum, count) partials leave
+    the groups; an empty match returns the SQL NULL as NaN."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_quantity", "l_extendedprice"))
+    n_salt = 1 << salt_bits
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        pk = pk[brand == "Brand#23"]
+        return _leg(pk % n_salt, pk, 0, 0, np.zeros(len(pk), np.int64))
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        price = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "code": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "aux": pa.array(qty, pa.int64()),
+            "price": pa.array(price, pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        pset = df.loc[df["side"] == 0, "k"].to_numpy(np.int64)
+        lines = df.loc[df["side"] == 1, ["k", "aux", "price"]]
+        lines = lines[lines["k"].isin(pset)]
+        if lines.empty:
+            return pd.DataFrame({"p_cents": np.array([0], np.int64),
+                                 "p_n": np.array([0], np.int64)})
+        tot = lines.groupby("k").agg(tq=("aux", "sum"), nq=("aux", "size"))
+        m = lines.join(tot, on="k")
+        keep = m["aux"].to_numpy(np.int64) * 5 * m["nq"].to_numpy(np.int64) \
+            < m["tq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "p_cents": np.array([m["price"].to_numpy(np.int64)[keep].sum()],
+                                np.int64),
+            "p_n": np.array([int(keep.sum())], np.int64),
+        })
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    # the part leg lacks the line leg's price column: give it one so
+    # the union schemas line up
+    part = part.map_batches(
+        lambda t: t.append_column("price", pa.array(
+            np.zeros(t.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    agg = part.union(line).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").aggregate(
+        Sum("p_cents", alias_name="cents"), Sum("p_n", alias_name="n"))
+
+    n = int(agg["n"] or 0)
+    return pd.DataFrame({
+        "avg_yearly": [int(agg["cents"] or 0) / 100.0 / 7.0 if n else np.nan],
+    })
+
+
+ORACLES["tpch_q17"] = """
+WITH pt AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+tot AS (SELECT l_partkey, sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS tq,
+        CAST(count(*) AS BIGINT) AS nq FROM lineitem GROUP BY l_partkey)
+SELECT sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) / 100.0 / 7.0
+  AS avg_yearly
+FROM lineitem JOIN pt ON p_partkey = l_partkey
+     JOIN tot ON tot.l_partkey = lineitem.l_partkey
+WHERE CAST(round(l_quantity*100, 0) AS BIGINT) * 5 * nq < tq"""
+
+
+def q_tpch_q15(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier): revenue per supplier over a ship-date
+    window, then the suppliers whose revenue EQUALS the global max —
+    the HAVING-=-scalar-max shape. Per-block (suppkey, cents-revenue)
+    partials reduce to exact per-supplier totals inside bounded salt
+    groups; the totals stream (supplier-dimension cardinality, never
+    the driver) materializes ONCE so the global-max aggregate and the
+    equality filter don't re-run the lineitem scan (the lazy-plan
+    re-execution rule in CLAUDE.md); the max compare is int64 cents so
+    ties are exact, and only the winners collect for the broadcast
+    name enrich."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"))
+    n_salt = 1 << salt_bits
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 7, 1), type=pa.timestamp("us"))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            "r": ip * (100 - idisc),
+        }).groupby("k", as_index=False).agg(r=("r", "sum"))
+        k = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "r": pa.array(g["r"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False).agg(r=("r", "sum"))
+        return g.astype({"k": np.int64, "r": np.int64})
+
+    tot = (_t(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+           .map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(totals, batch_format="pandas")
+           ).materialize()
+    from ray.data.aggregate import Max
+    mx = tot.aggregate(Max("r", alias_name="mx"))["mx"]
+    if mx is None:
+        return pd.DataFrame({"s_suppkey": pd.Series([], np.int64),
+                             "s_name": pd.Series([], object),
+                             "total_revenue": pd.Series([], np.float64)})
+    winners = tot.filter(expr=f"r == {int(mx)}").to_pandas()
+
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = winners.merge(supp, left_on="k", right_on="s_suppkey")
+    out = pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64),
+        "s_name": out["s_name"],
+        "total_revenue": out["r"].to_numpy(np.int64) / 10000.0,
+    })
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+ORACLES["tpch_q15"] = """
+WITH rev AS (SELECT l_suppkey,
+    sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, r / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev) ORDER BY s_suppkey"""
+
+
+def q_tpch_q10(sf_dir: str, k: int = 20,
+               salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q10 (returned-item revenue; adapted to the fixture
+    schema): large-large join -> per-key rollup -> global top-k ->
+    survivor-only enrich. Returned ('R') line revenue joins its
+    order's custkey in a salted orderkey exchange that ships one
+    cents partial per (orderkey, block); a second bounded exchange
+    totals per custkey and each group emits only its LOCAL top-k
+    (distributive: a group's #k+1 can never make the global top-k),
+    so the driver merges n_salt * k candidate rows. The oracle joins
+    customer BEFORE the LIMIT, so a custkey absent from the dimension
+    must not hold a top-k slot another candidate would win (the q18
+    lesson): customer keys ride the SAME salt2 exchange as a
+    key-only leg, and each group enforces membership before its local
+    truncation. Only the k winners' names are fetched — a distributed
+    membership filter over customer, never a full dimension
+    broadcast; nation is a tiny driver-side dim."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"))
+    n_salt = 1 << salt_bits
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 7, 1), type=pa.timestamp("us"))
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi)))
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return _leg(ok % n_salt, ok, 0, 0, ck)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R"))
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "r": ip * (100 - idisc),
+        }).groupby("k", as_index=False).agg(r=("r", "sum"))
+        kk = g["k"].to_numpy(np.int64)
+        return _leg(kk % n_salt, kk, 1, 0, g["r"].to_numpy(np.int64))
+
+    def join_orders(df: pd.DataFrame) -> pa.Table:
+        orders = df.loc[df["side"] == 0, ["k", "aux"]].rename(
+            columns={"aux": "ck"})
+        lines = df.loc[df["side"] == 1, ["k", "aux"]].groupby(
+            "k", as_index=False).agg(r=("aux", "sum"))
+        m = orders.merge(lines, on="k")
+        g = m.groupby("ck", as_index=False).agg(r=("r", "sum"))
+        ck = g["ck"].to_numpy(np.int64)
+        # emit ARROW in the cust_keys_leg layout: the downstream union
+        # must not mix pandas/arrow block types (the q5 lesson)
+        return pa.table({
+            "salt2": pa.array(ck % n_salt, pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "r": pa.array(g["r"].to_numpy(np.int64), pa.int64()),
+            "cust": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+        })
+
+    def cust_keys_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt2": pa.array(ck % n_salt, pa.int64()),
+            "ck": pa.array(ck, pa.int64()),
+            "r": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+            "cust": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+        })
+
+    def topk_group(df: pd.DataFrame) -> pd.DataFrame:
+        known = np.unique(df.loc[df["cust"] == 1, "ck"].to_numpy(np.int64))
+        g = df[df["cust"] == 0].groupby("ck", as_index=False).agg(
+            r=("r", "sum"))
+        from vyperdatum_ray.core.nputil import isin_sorted
+        g = g[isin_sorted(g["ck"].to_numpy(np.int64), known)]
+        g = g.sort_values(["r", "ck"], ascending=[False, True]).head(k)
+        return g.astype({"ck": np.int64, "r": np.int64})
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    cust_keys = _t(sf_dir, "customer", ["c_custkey"]
+                   ).map_batches(cust_keys_leg, batch_format="pyarrow")
+    cand = (orders.union(line).groupby("salt").map_groups(
+        join_orders, batch_format="pandas").union(cust_keys)
+        .groupby("salt2").map_groups(
+        topk_group, batch_format="pandas")).to_pandas()
+
+    if cand.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], np.int64),
+                             "c_name": pd.Series([], object),
+                             "n_name": pd.Series([], object),
+                             "revenue": pd.Series([], np.float64)})
+    # enrich every candidate (n_salt * k rows, still tiny) BEFORE the
+    # final limit — the oracle's join runs pre-LIMIT, so a candidate
+    # whose customer row is missing must not hold a top-k slot it
+    # would lose to the next candidate (the q18 lesson)
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
+    wanted_ref = ray.put(np.unique(cand["ck"].to_numpy(np.int64)))
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_member_sorted(ck, ray.get(wanted_ref))))
+
+    names = (_t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+             .map_batches(name_filter, batch_format="pyarrow")).to_pandas()
+    nation = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = cand.merge(names, left_on="ck", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["r", "ck"], ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].astype(np.int64).to_numpy(),
+        "c_name": out["c_name"].to_numpy(object),
+        "n_name": out["n_name"].to_numpy(object),
+        "revenue": out["r"].to_numpy(np.int64) / 10000.0,
+    })
+
+
+ORACLES["tpch_q10"] = """
+WITH rev AS (SELECT o_custkey,
+    sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS r
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+    AND l_returnflag = 'R'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name, r / 10000.0 AS revenue
+FROM rev JOIN customer ON c_custkey = o_custkey
+         JOIN nation ON n_nationkey = c_nationkey
+ORDER BY r DESC, c_custkey LIMIT 20"""
