@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10": relational.q_tpch_q10,
         "tpch_q15": relational.q_tpch_q15,
         "tpch_q17": relational.q_tpch_q17,
+        "tpch_q4": relational.q_tpch_q4,
+        "tpch_q9": relational.q_tpch_q9,
+        "tpch_q19": relational.q_tpch_q19,
+        "tpch_q11": relational.q_tpch_q11,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

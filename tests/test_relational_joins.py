@@ -441,3 +441,83 @@ def test_q10_missing_customer_frees_topk_slot(ray_session, tmp_path):
     out = q_tpch_q10(str(d), k=1, salt_bits=1)
     assert out["c_custkey"].tolist() == [200]
     assert out["revenue"].tolist() == [50.0]
+
+
+def test_q4_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q4
+
+    base = _canon(q_tpch_q4(SF))
+    forced = _canon(q_tpch_q4(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert (base["order_count"] > 0).all()
+
+
+def test_q9_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q9
+
+    base = _canon(q_tpch_q9(SF))
+    forced = _canon(q_tpch_q9(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
+def test_q19_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q19
+
+    base = _canon(q_tpch_q19(SF))
+    forced = _canon(q_tpch_q19(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+
+
+def test_q19_or_counts_overlapping_clauses_once(ray_session, tmp_path,
+                                                monkeypatch):
+    """A line whose part satisfies TWO clauses (and whose quantity sits
+    in both windows) must count once, per SQL OR semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import vyperdatum_ray.pipelines.relational as rel
+
+    monkeypatch.setattr(rel, "Q19_CLAUSES", (
+        ("Brand#12", 50, 1.0, 20.0),       # windows overlap on [10, 20]
+        ("Brand#12", 50, 10.0, 30.0),
+    ))
+    d = tmp_path / "q19"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": pa.array(["Brand#12"], pa.string()),
+        "p_size": pa.array([5], pa.int64()),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_quantity": pa.array([15.0, 25.0, 40.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 10.0, 10.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), d / "lineitem.parquet")
+    out = rel.q_tpch_q19(str(d), salt_bits=1)
+    # qty 15 hits both clauses (counts once), 25 hits clause 2, 40 none
+    assert out["n_lines"].tolist() == [2]
+    assert out["revenue"].tolist() == [20.0]
+
+
+def test_q11_salt_width_and_threshold(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q11
+
+    base = _canon(q_tpch_q11(SF))
+    forced = _canon(q_tpch_q11(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    # at sf0.001 the 0.1% threshold keeps a nonempty, strict subset
+    loose = q_tpch_q11(SF, fraction_ppm=0)
+    assert 0 < len(base) < len(loose)
+
+
+def test_q11_empty_threshold_result_is_typed(ray_session):
+    """An over-threshold filter that keeps nothing must return the
+    TYPED empty frame (the pd.Series positional-dtype trap)."""
+    from vyperdatum_ray.pipelines.relational import q_tpch_q11
+
+    out = q_tpch_q11(SF, fraction_ppm=1_000_000)
+    assert len(out) == 0
+    assert out["p_partkey"].dtype == np.int64
+    assert out["value"].dtype == np.float64

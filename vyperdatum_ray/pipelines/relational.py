@@ -1539,8 +1539,8 @@ def q_tpch_q13(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         reduce_group, batch_format="pandas").to_pandas()
 
     if parts.empty:                     # empty input -> columnless frame
-        return pd.DataFrame({"c_count": pd.Series([], np.int64),
-                             "custdist": pd.Series([], np.int64)})
+        return pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                             "custdist": pd.Series([], dtype=np.int64)})
     agg = parts.groupby("c_count", as_index=False).agg(
         custdist=("p_dist", "sum"))
     agg = agg.sort_values(["custdist", "c_count"],
@@ -1651,10 +1651,10 @@ def q_tpch_q16(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
     agg = agg.rename(columns={"brand": "p_brand", "ptype": "p_type",
                               "size": "p_size"})
     if agg.empty:
-        return pd.DataFrame({"p_brand": pd.Series([], object),
-                             "p_type": pd.Series([], object),
-                             "p_size": pd.Series([], np.int64),
-                             "supplier_cnt": pd.Series([], np.int64)})
+        return pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                             "p_type": pd.Series([], dtype=object),
+                             "p_size": pd.Series([], dtype=np.int64),
+                             "supplier_cnt": pd.Series([], dtype=np.int64)})
     agg = agg.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
         ascending=[False, True, True, True]).reset_index(drop=True)
@@ -1749,9 +1749,9 @@ def q_tpch_q22(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         reduce_group, batch_format="pandas").to_pandas()
 
     if parts.empty:
-        return pd.DataFrame({"c_mktsegment": pd.Series([], object),
-                             "numcust": pd.Series([], np.int64),
-                             "totacctbal": pd.Series([], np.float64)})
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "numcust": pd.Series([], dtype=np.int64),
+                             "totacctbal": pd.Series([], dtype=np.float64)})
     agg = parts.groupby("seg", as_index=False).agg(
         numcust=("p_n", "sum"), cents=("p_cents", "sum"))
     out = pd.DataFrame({
@@ -2154,9 +2154,9 @@ def q_tpch_q15(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
     from ray.data.aggregate import Max
     mx = tot.aggregate(Max("r", alias_name="mx"))["mx"]
     if mx is None:
-        return pd.DataFrame({"s_suppkey": pd.Series([], np.int64),
-                             "s_name": pd.Series([], object),
-                             "total_revenue": pd.Series([], np.float64)})
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([], dtype=np.float64)})
     winners = tot.filter(expr=f"r == {int(mx)}").to_pandas()
 
     supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_name"])
@@ -2278,10 +2278,10 @@ def q_tpch_q10(sf_dir: str, k: int = 20,
         topk_group, batch_format="pandas")).to_pandas()
 
     if cand.empty:
-        return pd.DataFrame({"c_custkey": pd.Series([], np.int64),
-                             "c_name": pd.Series([], object),
-                             "n_name": pd.Series([], object),
-                             "revenue": pd.Series([], np.float64)})
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                             "c_name": pd.Series([], dtype=object),
+                             "n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=np.float64)})
     # enrich every candidate (n_salt * k rows, still tiny) BEFORE the
     # final limit — the oracle's join runs pre-LIMIT, so a candidate
     # whose customer row is missing must not hold a top-k slot it
@@ -2320,3 +2320,406 @@ SELECT c_custkey, c_name, n_name, r / 10000.0 AS revenue
 FROM rev JOIN customer ON c_custkey = o_custkey
          JOIN nation ON n_nationkey = c_nationkey
 ORDER BY r DESC, c_custkey LIMIT 20"""
+
+
+def q_tpch_q4(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q4 (order-priority checking; adapted — the EXISTS probe
+    is ``l_returnflag = 'R'``, the fixtures lack commit/receipt
+    dates): the correlated-EXISTS semi-join rollup. Orders in the
+    date window ride a salted orderkey exchange carrying an int8
+    priority code (first digit of o_orderpriority); the lineitem leg
+    ships only per-block DISTINCT qualifying orderkeys. Each group
+    counts its semi-join survivors per code — five tiny (code, n)
+    partials leave each group and are summed on the driver (the Q13
+    lesson: a trailing Ray aggregate re-Sorts near-empty blocks for
+    more than the query costs). The code -> priority-string map comes
+    from a separate distinct scan of the dictionary-encoded priority
+    column, never from the exchange (strings stay out of the
+    shuffle)."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet",
+            ("o_orderkey", "o_orderpriority", "o_orderdate"))
+    n_salt = 1 << salt_bits
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), type=pa.timestamp("us"))
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi)))
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        code = pc.cast(pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1), pa.int8()).to_numpy(
+            zero_copy_only=False)
+        return _leg(ok % n_salt, ok, 0, code, 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ok = np.unique(
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return _leg(ok % n_salt, ok, 1, 0, 0)
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        probe = np.unique(df.loc[df["side"] == 1, "k"].to_numpy(np.int64))
+        orders = df[df["side"] == 0]
+        keep = isin_sorted(orders["k"].to_numpy(np.int64), probe)
+        codes, counts = np.unique(
+            orders["code"].to_numpy(np.int8)[keep], return_counts=True)
+        return pd.DataFrame({"code": codes.astype(np.int64),
+                             "n": counts.astype(np.int64)})
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_orderdate"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    parts = orders.union(line).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
+
+    if parts.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "order_count": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("code", as_index=False).agg(n=("n", "sum"))
+    # bounded distinct scan (<=5 strings) for the code -> name map;
+    # per-block distinct FIRST so the unique() exchange carries a few
+    # strings per block, not the whole column
+    pri = _t(sf_dir, "orders", ["o_orderpriority"]).map_batches(
+        lambda t: pa.table({"o_orderpriority": pc.unique(
+            t.column("o_orderpriority"))}),
+        batch_format="pyarrow").unique("o_orderpriority")
+    pmap = {int(p[0]): p for p in pri}
+    out = pd.DataFrame({
+        "o_orderpriority": np.array(
+            [pmap[int(c)] for c in agg["code"]], object),
+        "order_count": agg["n"].to_numpy(np.int64),
+    })
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+def q_tpch_q9(sf_dir: str, name_like: str = "widget",
+              salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year; adapted —
+    profit is line revenue, the fixtures lack partsupp supply cost,
+    and the year comes straight from l_shipdate so no orders join is
+    needed). Supplier is the classic tiny broadcast side (sorted key
+    + int8 nation code); the part name filter CANNOT broadcast at
+    corpus scale (part grows with SF), so filtered partkeys ride a
+    salted partkey exchange against per-block (partkey, nation, year,
+    cents) line partials. Groups emit (nation code, year, cents)
+    partials — a <=25x|years| domain summed on the driver (Q13
+    lesson). Money stays int64 cents x cents end to end."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate"))
+    n_salt = 1 << salt_bits
+
+    nation = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                       ).sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_nationkey"].to_numpy(np.int64).astype(np.int8)))
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.match_substring(
+            batch.column("p_name"), name_like))
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt": pa.array(pk % n_salt, pa.int64()),
+            "k": pa.array(pk, pa.int64()),
+            "side": pa.array(np.zeros(len(pk), np.int8), pa.int8()),
+            "code": pa.array(np.zeros(len(pk), np.int8), pa.int8()),
+            "yr": pa.array(np.zeros(len(pk), np.int64), pa.int64()),
+            "aux": pa.array(np.zeros(len(pk), np.int64), pa.int64()),
+        })
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        skeys, scodes = ray.get(supp_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = isin_sorted(sk, skeys)
+        code = scodes[np.searchsorted(skeys, sk[keep])]
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        yr = pc.year(batch.column("l_shipdate")).to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)[keep],
+            "code": code, "yr": yr, "aux": ip * (100 - idisc),
+        }).groupby(["k", "code", "yr"], as_index=False).agg(
+            aux=("aux", "sum"))
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(kk % n_salt, pa.int64()),
+            "k": pa.array(kk, pa.int64()),
+            "side": pa.array(np.ones(len(kk), np.int8), pa.int8()),
+            "code": pa.array(g["code"].to_numpy(np.int8), pa.int8()),
+            "yr": pa.array(g["yr"].to_numpy(np.int64), pa.int64()),
+            "aux": pa.array(g["aux"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        pset = np.unique(df.loc[df["side"] == 0, "k"].to_numpy(np.int64))
+        lines = df[df["side"] == 1]
+        keep = isin_sorted(lines["k"].to_numpy(np.int64), pset)
+        g = lines[keep].groupby(["code", "yr"], as_index=False).agg(
+            aux=("aux", "sum"))
+        return g.astype({"code": np.int64, "yr": np.int64, "aux": np.int64})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]).map_batches(line_leg, batch_format="pyarrow")
+    parts = part.union(line).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
+
+    if parts.empty:
+        return pd.DataFrame({"nation": pd.Series([], dtype=object),
+                             "o_year": pd.Series([], dtype=np.int64),
+                             "sum_profit": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby(["code", "yr"], as_index=False).agg(
+        aux=("aux", "sum"))
+    nmap = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    out = pd.DataFrame({
+        "nation": np.array([nmap[int(c)] for c in agg["code"]], object),
+        "o_year": agg["yr"].to_numpy(np.int64),
+        "sum_profit": agg["aux"].to_numpy(np.int64) / 10000.0,
+    })
+    return out.sort_values(["nation", "o_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+ORACLES["tpch_q9"] = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) / 10000.0
+         AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, o_year ORDER BY nation, o_year DESC"""
+
+
+# the three (brand, max p_size, quantity window) disjunctive clauses
+# of the adapted Q19 — fixture brands are Brand#1..Brand#25 and sizes
+# 1..50, so each clause is selective but non-empty at every SF
+Q19_CLAUSES = (("Brand#12", 15, 1.0, 11.0),
+               ("Brand#23", 25, 10.0, 20.0),
+               ("Brand#34", 35, 20.0, 30.0))
+
+
+def q_tpch_q19(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q19 (discounted revenue under disjunctive predicates;
+    adapted — no container/shipmode in the fixtures, the three OR'd
+    clauses pair a part-side predicate (brand + size cap) with a
+    line-side quantity window). The part side ships only the partkeys
+    that satisfy SOME clause, tagged with an int8 clause id, through
+    the salted partkey exchange (part grows with SF — never a
+    broadcast); the line leg ships (partkey, quantity-cents, revenue
+    cents) row partials. Inside each group the clause id joins onto
+    the lines and the per-clause quantity window is evaluated
+    vectorized; one (cents, n) pair leaves each group and the driver
+    sums. A part matching several clauses keeps them ALL (OR
+    semantics, not first-wins): the part leg emits one row per
+    matching clause and the in-group merge de-duplicates matched
+    LINES, not clause pairs, exactly as SQL's OR does."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
+    n_salt = 1 << salt_bits
+
+    brands = np.array([c[0] for c in Q19_CLAUSES], object)
+    sizecap = np.array([c[1] for c in Q19_CLAUSES], np.int64)
+    qlo = np.array([np.rint(c[2] * 100) for c in Q19_CLAUSES], np.int64)
+    qhi = np.array([np.rint(c[3] * 100) for c in Q19_CLAUSES], np.int64)
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        out_k, out_c = [], []
+        for ci in range(len(Q19_CLAUSES)):
+            keep = (brand == brands[ci]) & (size <= sizecap[ci])
+            out_k.append(pk[keep])
+            out_c.append(np.full(int(keep.sum()), ci, np.int8))
+        kk = np.concatenate(out_k)
+        return _leg(kk % n_salt, kk, 0, np.concatenate(out_c), 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table({
+            "salt": pa.array(k % n_salt, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "code": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "aux": pa.array(qty, pa.int64()),
+            "rev": pa.array(ip * (100 - idisc), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df.loc[df["side"] == 0, ["k", "code"]]
+        lines = df.loc[df["side"] == 1, ["k", "aux", "rev"]].reset_index(
+            drop=True)
+        lines["lid"] = np.arange(len(lines), dtype=np.int64)
+        m = lines.merge(parts, on="k")
+        if m.empty:
+            return pd.DataFrame({"cents": np.array([0], np.int64),
+                                 "n": np.array([0], np.int64)})
+        ci = m["code"].to_numpy(np.int8).astype(np.int64)
+        q = m["aux"].to_numpy(np.int64)
+        hit = (q >= qlo[ci]) & (q <= qhi[ci])
+        # a line may hit via several clauses; OR counts it once — dedup
+        # on the pre-merge line id, not the merge's fresh RangeIndex
+        lid = m["lid"].to_numpy(np.int64)[hit]
+        first = ~pd.Index(lid).duplicated()
+        rev = m["rev"].to_numpy(np.int64)[hit][first]
+        return pd.DataFrame({"cents": np.array([rev.sum()], np.int64),
+                             "n": np.array([len(rev)], np.int64)})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    part = part.map_batches(
+        lambda t: t.append_column("rev", pa.array(
+            np.zeros(t.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    parts = part.union(line).groupby("salt").map_groups(
+        reduce_group, batch_format="pandas").to_pandas()
+
+    cents = int(parts["cents"].sum()) if not parts.empty else 0
+    n = int(parts["n"].sum()) if not parts.empty else 0
+    return pd.DataFrame({
+        "revenue": [cents / 10000.0 if n else np.nan],
+        "n_lines": np.array([n], np.int64),
+    })
+
+
+ORACLES["tpch_q19"] = """
+SELECT sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 15
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size <= 25
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size <= 35
+       AND l_quantity BETWEEN 20.0 AND 30.0)"""
+
+
+def q_tpch_q11(sf_dir: str, nation_name: str = "NATION_3",
+               fraction_ppm: int = 1000,
+               salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q11 (important stock; adapted — part "value" is its
+    shipped line revenue from one nation's suppliers, the fixtures
+    lack partsupp). The GROUP BY + global-scalar-threshold shape:
+    per-part totals reduce in a bounded salt exchange and the stream
+    MATERIALIZES ONCE (CLAUDE.md's lazy-plan rule) so the global-sum
+    aggregate and the threshold filter don't re-run the lineitem
+    scan. The HAVING compare runs in int64 on both sides —
+    ``value_cents * 1_000_000 > total_cents * fraction_ppm`` — so no
+    float division can disagree at a tie. Supplier is the tiny
+    broadcast side (sorted keys of the chosen nation)."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_suppkey", "l_extendedprice", "l_discount"))
+    n_salt = 1 << salt_bits
+
+    nation = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nk = nation.loc[nation["n_name"] == nation_name, "n_nationkey"]
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nk.to_numpy())]
+    skeys_ref = ray.put(np.sort(supp["s_suppkey"].to_numpy(np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        skeys = ray.get(skeys_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = isin_sorted(sk, skeys)
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)[keep],
+            "v": ip * (100 - idisc),
+        }).groupby("k", as_index=False).agg(v=("v", "sum"))
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(kk % n_salt, pa.int64()),
+            "k": pa.array(kk, pa.int64()),
+            "v": pa.array(g["v"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False).agg(v=("v", "sum"))
+        return g.astype({"k": np.int64, "v": np.int64})
+
+    tot = (_t(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("salt").map_groups(totals, batch_format="pandas")
+           ).materialize()
+    total = tot.aggregate(Sum("v", alias_name="t"))["t"]
+    if total is None:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "value": pd.Series([], dtype=np.float64)})
+    # v*1e6 > total*ppm  <=>  v > floor(total*ppm / 1e6) for integer v
+    # (Ray's filter expr grammar takes `col > literal`, not arithmetic)
+    thresh = (int(total) * fraction_ppm) // 1_000_000
+    keep = tot.filter(expr=f"v > {thresh}").to_pandas()
+    if keep.empty:        # no part over the threshold -> typed empty
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "value": pd.Series([], dtype=np.float64)})
+    keep = keep.sort_values(["v", "k"], ascending=[False, True]
+                            ).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_partkey": keep["k"].to_numpy(np.int64),
+        "value": keep["v"].to_numpy(np.int64) / 10000.0,
+    })
+
+
+ORACLES["tpch_q11"] = """
+WITH v AS (SELECT l_partkey AS p_partkey,
+    sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT p_partkey, val / 10000.0 AS value
+FROM v WHERE val * 1000000 > (SELECT sum(val) FROM v) * 1000
+ORDER BY val DESC, p_partkey"""
