@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9": relational.q_tpch_q9,
         "tpch_q19": relational.q_tpch_q19,
         "tpch_q11": relational.q_tpch_q11,
+        "tpch_q21": relational.q_tpch_q21,
+        "tpch_q7": relational.q_tpch_q7,
+        "tpch_q8": relational.q_tpch_q8,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

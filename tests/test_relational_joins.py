@@ -521,3 +521,64 @@ def test_q11_empty_threshold_result_is_typed(ray_session):
     assert len(out) == 0
     assert out["p_partkey"].dtype == np.int64
     assert out["value"].dtype == np.float64
+
+
+def test_q21_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q21
+
+    base = _canon(q_tpch_q21(SF))
+    forced = _canon(q_tpch_q21(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+    assert (base["numwait"] > 0).all()
+
+
+def test_q21_blames_only_sole_returner(ray_session, tmp_path):
+    """Order 1: supplier 10 returned, 20 didn't -> 10 waits. Order 2:
+    both returned -> nobody waits (NOT EXISTS fails). Order 3: single
+    supplier returned -> nobody waits (EXISTS fails)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_tpch_q21
+
+    d = tmp_path / "q21"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F"], pa.string()),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 20, 10, 20, 10], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R", "R"], pa.string()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 20], pa.int64()),
+        "s_name": pa.array(["S10", "S20"], pa.string()),
+    }), d / "supplier.parquet")
+    out = q_tpch_q21(str(d), salt_bits=1)
+    assert out["s_suppkey"].tolist() == [10]
+    assert out["numwait"].tolist() == [1]
+
+
+def test_q7_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q7
+
+    base = _canon(q_tpch_q7(SF))
+    forced = _canon(q_tpch_q7(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+    # only the two cross (supp, cust) nation pairs appear
+    pairs = set(zip(base["supp_nation"], base["cust_nation"]))
+    assert pairs <= {("NATION_3", "NATION_15"), ("NATION_15", "NATION_3")}
+
+
+def test_q8_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q8
+
+    base = _canon(q_tpch_q8(SF))
+    forced = _canon(q_tpch_q8(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+    assert ((base["mkt_share"] >= 0) & (base["mkt_share"] <= 1)).all()

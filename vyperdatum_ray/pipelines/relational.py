@@ -2723,3 +2723,489 @@ WITH v AS (SELECT l_partkey AS p_partkey,
 SELECT p_partkey, val / 10000.0 AS value
 FROM v WHERE val * 1000000 > (SELECT sum(val) FROM v) * 1000
 ORDER BY val DESC, p_partkey"""
+
+
+def q_tpch_q21(sf_dir: str, k: int = 100,
+               salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; adapted — the
+    "late" predicate is ``l_returnflag = 'R'``, the fixtures lack
+    commit/receipt dates, and no nation filter so every SF has rows):
+    the correlated EXISTS + NOT-EXISTS pair. A supplier waits on a
+    finished ('F') order iff it shipped a returned line there, ANOTHER
+    supplier is on the order (EXISTS), and NO other supplier has a
+    returned line on it (NOT EXISTS). One orderkey exchange carries
+    per-block (orderkey, suppkey, any-R) partials plus the order
+    status leg; each group resolves the whole correlated predicate
+    vectorized and emits (suppkey, waits) partials. A second bounded
+    suppkey exchange totals per supplier WITH a supplier-membership
+    leg riding along (the Q10 lesson: enrich-drops must happen before
+    the local top-k truncation) and emits its local top-k; the driver
+    merges n_salt x k candidates and fetches only the winners' names
+    via a distributed membership filter."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_suppkey", "l_returnflag"))
+    n_salt = 1 << salt_bits
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return _leg(ok % n_salt, ok, 0, 0, 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        isr = pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False).astype(np.int8)
+        g = pd.DataFrame({"k": ok, "aux": sk, "code": isr}).groupby(
+            ["k", "aux"], as_index=False).agg(code=("code", "max"))
+        kk = g["k"].to_numpy(np.int64)
+        return _leg(kk % n_salt, kk, 1,
+                    g["code"].to_numpy(np.int8), g["aux"].to_numpy(np.int64))
+
+    def waits_group(df: pd.DataFrame) -> pd.DataFrame:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        fset = np.unique(df.loc[df["side"] == 0, "k"].to_numpy(np.int64))
+        lines = df[df["side"] == 1]
+        keep = isin_sorted(lines["k"].to_numpy(np.int64), fset)
+        l = lines[keep].groupby(["k", "aux"], as_index=False).agg(
+            code=("code", "max"))
+        per = l.groupby("k").agg(nsupp=("aux", "size"), nr=("code", "sum"))
+        m = l.join(per, on="k")
+        win = (m["code"].to_numpy(np.int8) == 1) \
+            & (m["nsupp"].to_numpy(np.int64) >= 2) \
+            & (m["nr"].to_numpy(np.int64) == 1)
+        sk, cnt = np.unique(m["aux"].to_numpy(np.int64)[win],
+                            return_counts=True)
+        return pd.DataFrame({
+            "salt2": sk % n_salt, "sk": sk,
+            "w": cnt.astype(np.int64),
+            "memb": np.zeros(len(sk), np.int8),
+        })
+
+    def memb_leg(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt2": pa.array(sk % n_salt, pa.int64()),
+            "sk": pa.array(sk, pa.int64()),
+            "w": pa.array(np.zeros(len(sk), np.int64), pa.int64()),
+            "memb": pa.array(np.ones(len(sk), np.int8), pa.int8()),
+        })
+
+    def topk_group(df: pd.DataFrame) -> pd.DataFrame:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        known = np.unique(df.loc[df["memb"] == 1, "sk"].to_numpy(np.int64))
+        g = df[df["memb"] == 0].groupby("sk", as_index=False).agg(
+            w=("w", "sum"))
+        g = g[isin_sorted(g["sk"].to_numpy(np.int64), known)]
+        g = g.sort_values(["w", "sk"], ascending=[False, True]).head(k)
+        return g.astype({"sk": np.int64, "w": np.int64})
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_returnflag"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    memb = _t(sf_dir, "supplier", ["s_suppkey"]
+              ).map_batches(memb_leg, batch_format="pyarrow")
+
+    def waits_group_arrow(df: pd.DataFrame) -> pa.Table:
+        out = waits_group(df)
+        return pa.table({
+            "salt2": pa.array(out["salt2"].to_numpy(np.int64), pa.int64()),
+            "sk": pa.array(out["sk"].to_numpy(np.int64), pa.int64()),
+            "w": pa.array(out["w"].to_numpy(np.int64), pa.int64()),
+            "memb": pa.array(out["memb"].to_numpy(np.int8), pa.int8()),
+        })
+
+    cand = (orders.union(line).groupby("salt").map_groups(
+        waits_group_arrow, batch_format="pandas").union(memb)
+        .groupby("salt2").map_groups(
+        topk_group, batch_format="pandas")).to_pandas()
+
+    if cand.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    cand = cand.sort_values(["w", "sk"], ascending=[False, True]).head(k)
+
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
+    wanted_ref = ray.put(np.unique(cand["sk"].to_numpy(np.int64)))
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_member_sorted(sk, ray.get(wanted_ref))))
+
+    names = (_t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(name_filter, batch_format="pyarrow")).to_pandas()
+    out = cand.merge(names, left_on="sk", right_on="s_suppkey")
+    out = out.sort_values(["w", "sk"], ascending=[False, True])
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype(np.int64).to_numpy(),
+        "s_name": out["s_name"].to_numpy(object),
+        "numwait": out["w"].to_numpy(np.int64),
+    })
+
+
+ORACLES["tpch_q21"] = """
+WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+l AS (SELECT l_orderkey, l_suppkey,
+        max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem JOIN f ON o_orderkey = l_orderkey
+      GROUP BY l_orderkey, l_suppkey),
+per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nsupp,
+        CAST(sum(has_r) AS BIGINT) AS nr FROM l GROUP BY l_orderkey)
+SELECT l.l_suppkey AS s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l JOIN per ON per.l_orderkey = l.l_orderkey
+       JOIN supplier ON s_suppkey = l.l_suppkey
+WHERE l.has_r = 1 AND per.nsupp >= 2 AND per.nr = 1
+GROUP BY l.l_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 100"""
+
+
+def _leg6(salt, k, side: int, code, yr, aux) -> pa.Table:
+    """One leg block of the 6-column exchange schema used by the
+    queries that must carry a (code, year, cents) triple through a
+    repartition join (Q7/Q8/Q9)."""
+    n = len(k)
+    return pa.table({
+        "salt": pa.array(np.asarray(salt, np.int64), pa.int64()),
+        "k": pa.array(np.asarray(k, np.int64), pa.int64()),
+        "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+        "code": pa.array(np.broadcast_to(
+            np.asarray(code, np.int8), n), pa.int8()),
+        "yr": pa.array(np.broadcast_to(
+            np.asarray(yr, np.int64), n), pa.int64()),
+        "aux": pa.array(np.broadcast_to(
+            np.asarray(aux, np.int64), n), pa.int64()),
+    })
+
+
+def q_tpch_q7(sf_dir: str, nation_a: str = "NATION_3",
+              nation_b: str = "NATION_15",
+              salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): TWO chained
+    salted repartition joins, no broadcast of any big-table side.
+    Exchange 1 keys on custkey — the two-nation customer leg joins the
+    orders leg and re-emits an ORDERKEY-keyed leg carrying the
+    customer-nation code (an arrow block in the 6-column leg layout,
+    so the downstream union never mixes block types). Exchange 2 keys
+    on orderkey — the lineitem leg arrives with its supplier-nation
+    code resolved from the tiny supplier broadcast and its revenue
+    pre-aggregated per (orderkey, supp code, year) in int64 cents.
+    Each group keeps only the (supp, cust) cross pairs and emits a
+    <=2 x 2 x years partial summed on the driver (Q13 lesson).
+    Native ``Dataset.join`` is deliberately NOT used twice in one DAG
+    (the 2-join aggregator-pool deadlock, CLAUDE.md)."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate"))
+    n_salt = 1 << salt_bits
+
+    nation = _dim_pandas(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nk = {name: int(nation.loc[nation["n_name"] == name,
+                               "n_nationkey"].iloc[0])
+          for name in (nation_a, nation_b)}
+    pair = np.sort(np.array([nk[nation_a], nk[nation_b]], np.int64))
+    names = {int(kk): nn for nn, kk in nk.items()}
+
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(pair)].sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_nationkey"].to_numpy(np.int64).astype(np.int8)))
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, pair)
+        return _leg6(ck[keep] % n_salt, ck[keep], 0,
+                     cn[keep].astype(np.int8), 0, 0)
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return _leg6(ck % n_salt, ck, 1, 0, 0, ok)
+
+    def join_custkey(df: pd.DataFrame) -> pa.Table:
+        cust = df.loc[df["side"] == 0, ["k", "code"]]
+        orders = df.loc[df["side"] == 1, ["k", "aux"]]
+        m = orders.merge(cust, on="k")
+        ok = m["aux"].to_numpy(np.int64)
+        # re-key on orderkey for exchange 2; side 0 = "order w/ cust code"
+        return _leg6(ok % n_salt, ok, 0, m["code"].to_numpy(np.int8), 0, 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        skeys, scodes = ray.get(supp_ref)
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), lo),
+            pc.less(batch.column("l_shipdate"), hi)))
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = isin_sorted(sk, skeys)
+        code = scodes[np.searchsorted(skeys, sk[keep])]
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        yr = pc.year(batch.column("l_shipdate")).to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[keep],
+            "code": code, "yr": yr, "aux": ip * (100 - idisc),
+        }).groupby(["k", "code", "yr"], as_index=False).agg(
+            aux=("aux", "sum"))
+        return _leg6(g["k"].to_numpy(np.int64) % n_salt,
+                     g["k"].to_numpy(np.int64), 1,
+                     g["code"].to_numpy(np.int8),
+                     g["yr"].to_numpy(np.int64),
+                     g["aux"].to_numpy(np.int64))
+
+    def join_orderkey(df: pd.DataFrame) -> pd.DataFrame:
+        orders = df.loc[df["side"] == 0, ["k", "code"]].rename(
+            columns={"code": "ccode"})
+        lines = df.loc[df["side"] == 1, ["k", "code", "yr", "aux"]]
+        m = lines.merge(orders, on="k")
+        m = m[m["code"].to_numpy(np.int8) != m["ccode"].to_numpy(np.int8)]
+        g = m.groupby(["code", "ccode", "yr"], as_index=False).agg(
+            aux=("aux", "sum"))
+        return g.astype({"code": np.int64, "ccode": np.int64,
+                         "yr": np.int64, "aux": np.int64})
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+              ).map_batches(cust_leg, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]).map_batches(line_leg, batch_format="pyarrow")
+    parts = (cust.union(orders).groupby("salt").map_groups(
+        join_custkey, batch_format="pandas").union(line)
+        .groupby("salt").map_groups(
+        join_orderkey, batch_format="pandas")).to_pandas()
+
+    if parts.empty:
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby(["code", "ccode", "yr"], as_index=False).agg(
+        aux=("aux", "sum"))
+    out = pd.DataFrame({
+        "supp_nation": np.array(
+            [names[int(c)] for c in agg["code"]], object),
+        "cust_nation": np.array(
+            [names[int(c)] for c in agg["ccode"]], object),
+        "l_year": agg["yr"].to_numpy(np.int64),
+        "revenue": agg["aux"].to_numpy(np.int64) / 10000.0,
+    })
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                           ).reset_index(drop=True)
+
+
+ORACLES["tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) / 10000.0
+         AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_15')
+       OR (n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def q_tpch_q8(sf_dir: str, target_nation: str = "NATION_3",
+              region_name: str = "AMERICA", part_type: str = "PROMO",
+              salt_bits: int | None = None) -> pd.DataFrame:
+    """TPC-H Q8 (national market share; adapted to the fixture
+    schema): a THREE-exchange chain, the deepest reshape in the
+    relational suite. Exchange A keys on partkey — the 'PROMO'
+    partkeys (part grows with SF, never broadcast) filter the line
+    partials, which re-emit keyed on ORDERKEY carrying the
+    supplier-nation code from the tiny supplier broadcast. Exchange B
+    keys on custkey — the region-filtered customer leg joins orders
+    and re-emits an orderkey-keyed leg carrying the order year.
+    Exchange C joins both orderkey legs; each group emits (year,
+    supp-code, cents) partials — a <=25 x years domain summed on the
+    driver, where the share divides two exact int64 sums in float64
+    (identical doubles in DuckDB's BIGINT/BIGINT division)."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"))
+    n_salt = 1 << salt_bits
+
+    nation = _dim_pandas(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    region = _dim_pandas(sf_dir, "region")
+    target_nk = int(nation.loc[nation["n_name"] == target_nation,
+                               "n_nationkey"].iloc[0])
+    rk = int(region.loc[region["r_name"] == region_name,
+                        "r_regionkey"].iloc[0])
+    region_nations = nation.loc[nation["n_regionkey"] == rk,
+                                "n_nationkey"].to_numpy(np.int64)
+
+    supp = _dim_pandas(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+                       ).sort_values("s_suppkey")
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_nationkey"].to_numpy(np.int64).astype(np.int8)))
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("p_type"), part_type))
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        return _leg6(pk % n_salt, pk, 0, 0, 0, 0)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        skeys, scodes = ray.get(supp_ref)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = isin_sorted(sk, skeys)
+        code = scodes[np.searchsorted(skeys, sk[keep])]
+        ip = np.rint(batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        idisc = np.rint(batch.column("l_discount").to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(
+                zero_copy_only=False)[keep],
+            "ok": batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False)[keep],
+            "code": code, "aux": ip * (100 - idisc),
+        }).groupby(["k", "ok", "code"], as_index=False).agg(
+            aux=("aux", "sum"))
+        return pa.table({
+            "salt": pa.array(g["k"].to_numpy(np.int64) % n_salt, pa.int64()),
+            "k": pa.array(g["k"].to_numpy(np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(g), np.int8), pa.int8()),
+            "code": pa.array(g["code"].to_numpy(np.int8), pa.int8()),
+            "yr": pa.array(g["ok"].to_numpy(np.int64), pa.int64()),
+            "aux": pa.array(g["aux"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def join_partkey(df: pd.DataFrame) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        pset = np.unique(df.loc[df["side"] == 0, "k"].to_numpy(np.int64))
+        lines = df[df["side"] == 1]
+        keep = isin_sorted(lines["k"].to_numpy(np.int64), pset)
+        lines = lines[keep]
+        # re-key on the orderkey smuggled through `yr`; side 1 = line
+        ok = lines["yr"].to_numpy(np.int64)
+        return _leg6(ok % n_salt, ok, 1,
+                     lines["code"].to_numpy(np.int8), 0,
+                     lines["aux"].to_numpy(np.int64))
+
+    def cust_leg(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, region_nations)
+        return _leg6(ck[keep] % n_salt, ck[keep], 0, 0, 0, 0)
+
+    def orders_leg(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), lo),
+            pc.less(batch.column("o_orderdate"), hi)))
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "salt": pa.array(ck % n_salt, pa.int64()),
+            "k": pa.array(ck, pa.int64()),
+            "side": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+            "code": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            "yr": pa.array(yr, pa.int64()),
+            "aux": pa.array(ok, pa.int64()),
+        })
+
+    def join_custkey(df: pd.DataFrame) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        cset = np.unique(df.loc[df["side"] == 0, "k"].to_numpy(np.int64))
+        orders = df[df["side"] == 1]
+        keep = isin_sorted(orders["k"].to_numpy(np.int64), cset)
+        orders = orders[keep]
+        ok = orders["aux"].to_numpy(np.int64)
+        # side 0 = "order in region, with year"
+        return _leg6(ok % n_salt, ok, 0, 0,
+                     orders["yr"].to_numpy(np.int64), 0)
+
+    def join_orderkey(df: pd.DataFrame) -> pd.DataFrame:
+        orders = df.loc[df["side"] == 0, ["k", "yr"]]
+        lines = df.loc[df["side"] == 1, ["k", "code", "aux"]]
+        m = lines.merge(orders, on="k")
+        g = m.groupby(["yr", "code"], as_index=False).agg(aux=("aux", "sum"))
+        return g.astype({"yr": np.int64, "code": np.int64, "aux": np.int64})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]).map_batches(line_leg, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+              ).map_batches(cust_leg, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]
+                ).map_batches(orders_leg, batch_format="pyarrow")
+
+    line_by_order = part.union(line).groupby("salt").map_groups(
+        join_partkey, batch_format="pandas")
+    order_in_region = cust.union(orders).groupby("salt").map_groups(
+        join_custkey, batch_format="pandas")
+    parts = line_by_order.union(order_in_region).groupby("salt").map_groups(
+        join_orderkey, batch_format="pandas").to_pandas()
+
+    if parts.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                             "mkt_share": pd.Series([], dtype=np.float64)})
+    agg = parts.groupby(["yr", "code"], as_index=False).agg(
+        aux=("aux", "sum"))
+    years = np.sort(agg["yr"].unique())
+    tgt = np.array([agg.loc[(agg["yr"] == y) & (agg["code"] == target_nk),
+                            "aux"].sum() for y in years], np.int64)
+    tot = np.array([agg.loc[agg["yr"] == y, "aux"].sum() for y in years],
+                   np.int64)
+    return pd.DataFrame({
+        "o_year": years.astype(np.int64),
+        "mkt_share": tgt.astype(np.float64) / tot.astype(np.float64),
+    })
+
+
+ORACLES["tpch_q8"] = """
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         s_nationkey,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount*100, 0) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'AMERICA'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN s_nationkey =
+             (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+           THEN cents ELSE 0 END) AS DOUBLE)
+         / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year"""
