@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "tpch_q16",
     "tpch_q22",
     "min_cost_supplier",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q21",
     "running_total",
     "full_outer_join",
     "semi_anti_join",
