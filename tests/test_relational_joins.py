@@ -582,3 +582,45 @@ def test_q8_salt_width_independence(ray_session):
     pd.testing.assert_frame_equal(base, forced)
     assert len(base) > 0
     assert ((base["mkt_share"] >= 0) & (base["mkt_share"] <= 1)).all()
+
+
+def test_event_lag_delta_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_event_lag_delta
+
+    base = _canon(q_event_lag_delta(SF).to_pandas())
+    forced = _canon(q_event_lag_delta(SF, salt_bits=1).to_pandas())
+    pd.testing.assert_frame_equal(base, forced)
+    # exactly one NaN delta (first event) and one NaN gap (last event)
+    # per user
+    n_users = base["user_id"].nunique()
+    assert int(base["value_delta"].isna().sum()) == n_users
+    assert int(base["next_gap_us"].isna().sum()) == n_users
+
+
+def test_event_lag_delta_partition_edges(ray_session, tmp_path):
+    """Shifts must mask at user boundaries: user 1's first delta and
+    last gap are NULL even when another user's rows are adjacent in
+    the lexsort."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_event_lag_delta
+
+    d = tmp_path / "lag"
+    d.mkdir()
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                         "2024-01-01 00:00:05"])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "value": pa.array([10.0, 13.5, 99.0], pa.float64()),
+    }), d / "events.parquet")
+    out = q_event_lag_delta(str(d), salt_bits=1).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    assert np.isnan(out["value_delta"].iloc[0])        # user 7 first
+    assert out["value_delta"].iloc[1] == 3.5
+    assert np.isnan(out["value_delta"].iloc[2])        # user 8 first
+    assert out["next_gap_us"].iloc[0] == 10_000_000.0
+    assert np.isnan(out["next_gap_us"].iloc[1])        # user 7 last
+    assert np.isnan(out["next_gap_us"].iloc[2])        # user 8 last

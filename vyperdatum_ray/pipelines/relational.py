@@ -3209,3 +3209,70 @@ SELECT o_year,
            THEN cents ELSE 0 END) AS DOUBLE)
          / CAST(sum(cents) AS DOUBLE) AS mkt_share
 FROM base GROUP BY o_year ORDER BY o_year"""
+
+
+def q_event_lag_delta(sf_dir: str,
+                      salt_bits: int | None = None) -> ray.data.Dataset:
+    """LAG/LEAD window over the event stream (PARTITION BY user_id
+    ORDER BY ts, event_id): each event's value delta vs the user's
+    previous event and the time gap to the next one — the
+    neighbouring-row window family, distinct from ``running_total``'s
+    cumulative sums. High-cardinality partition key -> bounded salt
+    exchange; inside each group ONE lexsort orders every user's
+    events and the shifts are pure vectorized slices with
+    segment-boundary masking (no per-user Python). Partition edges
+    emit SQL NULL as NaN; the delta subtracts two raw float64s (a
+    single IEEE op, bit-identical to DuckDB's LAG subtraction) and
+    the gap is exact integer microseconds."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/events.parquet",
+            ("event_id", "ts", "user_id", "value"))
+    n_salt = 1 << salt_bits
+
+    def leg(batch: pa.Table) -> pa.Table:
+        uk = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt": pa.array(uk % n_salt, pa.int64()),
+            "uk": pa.array(uk, pa.int64()),
+            "eid": batch.column("event_id"),
+            "tsu": pc.cast(batch.column("ts"), pa.int64()),
+            "v": batch.column("value"),
+        })
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        uk = df["uk"].to_numpy(np.int64)
+        eid = df["eid"].to_numpy(np.int64)
+        tsu = df["tsu"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((eid, tsu, uk))
+        uk, eid, tsu, v = uk[order], eid[order], tsu[order], v[order]
+        first = np.r_[True, uk[1:] != uk[:-1]]       # partition starts
+        last = np.r_[uk[1:] != uk[:-1], True]        # partition ends
+        delta = np.empty(len(v), np.float64)
+        delta[0] = np.nan
+        delta[1:] = v[1:] - v[:-1]
+        delta[first] = np.nan
+        gap = np.full(len(v), np.nan)
+        if len(v) > 1:
+            gap[:-1] = (tsu[1:] - tsu[:-1]).astype(np.float64)
+        gap[last] = np.nan
+        return pd.DataFrame({
+            "event_id": eid, "user_id": uk,
+            "value_delta": delta, "next_gap_us": gap,
+        })
+
+    return _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+              ).map_batches(leg, batch_format="pyarrow"
+                            ).groupby("salt").map_groups(
+        window, batch_format="pandas")
+
+
+ORACLES["event_lag_delta"] = """
+SELECT event_id, user_id,
+       value - lag(value) OVER w AS value_delta,
+       CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+         AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id"""
