@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": relational.q_tpch_q7,
         "tpch_q8": relational.q_tpch_q8,
         "event_lag_delta": relational.q_event_lag_delta,
+        "funnel_conversion": relational.q_funnel_conversion,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -624,3 +624,40 @@ def test_event_lag_delta_partition_edges(ray_session, tmp_path):
     assert out["next_gap_us"].iloc[0] == 10_000_000.0
     assert np.isnan(out["next_gap_us"].iloc[1])        # user 7 last
     assert np.isnan(out["next_gap_us"].iloc[2])        # user 8 last
+
+
+def test_funnel_conversion_ordering_matters(ray_session, tmp_path):
+    """A purchase BEFORE the user's first signup must not convert;
+    a purchase after it must, even with partials split across salt
+    groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_funnel_conversion
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-03",        # user 1: signup then purchase
+        "2024-01-05", "2024-01-02",        # user 2: signup AFTER purchase
+        "2024-01-04",                      # user 3: purchase only
+    ])
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(
+            ["signup", "purchase", "signup", "purchase", "purchase"],
+            pa.string()),
+    }), d / "events.parquet")
+    out = q_funnel_conversion(str(d), salt_bits=1)
+    assert out["n_signup"].tolist() == [2]
+    assert out["n_converted"].tolist() == [1]
+
+
+def test_funnel_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_funnel_conversion
+
+    base = q_funnel_conversion(SF)
+    forced = q_funnel_conversion(SF, salt_bits=1)
+    pd.testing.assert_frame_equal(base, forced)
+    assert int(base["n_signup"].iloc[0]) >= int(base["n_converted"].iloc[0])

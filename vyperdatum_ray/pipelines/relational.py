@@ -3276,3 +3276,76 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id"""
+
+
+def q_funnel_conversion(sf_dir: str,
+                        salt_bits: int | None = None) -> pd.DataFrame:
+    """Ordered funnel conversion over the event stream: of the users
+    who ever signed up, how many later purchased (strictly after
+    their FIRST signup)? The sequence predicate collapses to an
+    associative per-user partial — (min signup ts, max purchase ts)
+    — because "any purchase after the first signup" is exactly
+    ``max_purchase > min_signup``. Blocks pre-reduce to one partial
+    per (user, block); bounded salt groups finish the min/max and
+    emit (n_signup, n_converted) count pairs; the driver sums
+    (Q13 lesson). Nothing user-cardinality-sized leaves the exchange
+    as strings or rows — two int64 timestamps per user per block."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/events.parquet", ("user_id", "ts", "event_type"))
+    n_salt = 1 << salt_bits
+    NONE = np.int64(np.iinfo(np.int64).min)
+
+    def leg(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uk = batch.column("user_id").to_numpy(zero_copy_only=False)
+        tsu = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = et == "signup"
+        p = et == "purchase"
+        gs = pd.DataFrame({"uk": uk[s], "v": tsu[s]}).groupby(
+            "uk", as_index=False).agg(v=("v", "min"))
+        gp = pd.DataFrame({"uk": uk[p], "v": tsu[p]}).groupby(
+            "uk", as_index=False).agg(v=("v", "max"))
+        u = np.concatenate([gs["uk"].to_numpy(np.int64),
+                            gp["uk"].to_numpy(np.int64)])
+        return pa.table({
+            "salt": pa.array(u % n_salt, pa.int64()),
+            "uk": pa.array(u, pa.int64()),
+            "mins": pa.array(np.concatenate(
+                [gs["v"].to_numpy(np.int64),
+                 np.full(len(gp), np.iinfo(np.int64).max, np.int64)]),
+                pa.int64()),
+            "maxp": pa.array(np.concatenate(
+                [np.full(len(gs), NONE, np.int64),
+                 gp["v"].to_numpy(np.int64)]), pa.int64()),
+        })
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("uk").agg(mins=("mins", "min"), maxp=("maxp", "max"))
+        signed = g["mins"].to_numpy(np.int64) < np.iinfo(np.int64).max
+        conv = signed & (g["maxp"].to_numpy(np.int64)
+                         > g["mins"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "n_signup": np.array([int(signed.sum())], np.int64),
+            "n_converted": np.array([int(conv.sum())], np.int64),
+        })
+
+    parts = (_t(sf_dir, "events", ["user_id", "ts", "event_type"])
+             .map_batches(leg, batch_format="pyarrow")
+             .groupby("salt").map_groups(reduce_group,
+                                         batch_format="pandas")).to_pandas()
+    n_s = int(parts["n_signup"].sum()) if not parts.empty else 0
+    n_c = int(parts["n_converted"].sum()) if not parts.empty else 0
+    return pd.DataFrame({"n_signup": np.array([n_s], np.int64),
+                         "n_converted": np.array([n_c], np.int64)})
+
+
+ORACLES["funnel_conversion"] = """
+WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT DISTINCT s.user_id FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.t0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_converted"""
