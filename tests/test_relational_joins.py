@@ -661,3 +661,13 @@ def test_funnel_salt_width_independence(ray_session):
     forced = q_funnel_conversion(SF, salt_bits=1)
     pd.testing.assert_frame_equal(base, forced)
     assert int(base["n_signup"].iloc[0]) >= int(base["n_converted"].iloc[0])
+
+
+def test_q8_bloom_path_matches_direct(ray_session):
+    """The partkey bloom pushdown (forced on) and the direct exchange
+    produce identical market shares."""
+    from vyperdatum_ray.pipelines.relational import q_tpch_q8
+
+    direct = _canon(q_tpch_q8(SF, bloom_min_probe_bytes=1 << 60))
+    bloomed = _canon(q_tpch_q8(SF, bloom_min_probe_bytes=0))
+    pd.testing.assert_frame_equal(direct, bloomed)

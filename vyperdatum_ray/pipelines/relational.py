@@ -1331,6 +1331,61 @@ def _bloom_test(keys: np.ndarray, words: np.ndarray, m_bits: int) -> np.ndarray:
     return hit
 
 
+def _build_bloom(sf_dir: str, table: str, columns, keys_fn,
+                 m_bits: int | None = None):
+    """Distributed Bloom build over ``keys_fn(batch) -> int keys`` of
+    one table; returns ``(bloom_ref, m_bits)`` with the merged filter
+    in plasma. The build side's keys never collect to the driver —
+    each block ships its deduped set-bit POSITIONS, one bounded
+    groupby densifies each <=2^24-bit position range, and the driver
+    assembles exactly the filter's m/8 bytes regardless of block
+    count (a dense filter-sized partial per block would make the
+    reduce payload grow with block count: 10^6 blocks x 16 MiB =
+    16 TB of partials at corpus scale). Filter size derives from a
+    distributed count of the INSERTED keys (~16 bits/key, 2 probes =>
+    ~2-3% FP), capped at a broadcastable 16 MiB."""
+    if m_bits is None:
+        def key_count(batch: pa.Table) -> pa.Table:
+            return pa.table({"p_n": pa.array([len(keys_fn(batch))],
+                                             pa.int64())})
+
+        agg = _t(sf_dir, table, columns).map_batches(
+            key_count, batch_format="pyarrow").aggregate(
+            Sum("p_n", alias_name="n"))
+        n_keys = int(agg["n"] or 0)
+        m_bits = 1 << int(np.clip(np.ceil(np.log2(max(n_keys, 1) * 16)),
+                                  16, np.log2(BLOOM_MAX_BITS)))
+    shard_bits = min(m_bits, 1 << 24)
+
+    def bloom_positions(batch: pa.Table) -> pa.Table:
+        keys = keys_fn(batch)
+        h1, h2 = _bloom_hashes(keys, m_bits)
+        pos = np.unique(np.concatenate([h1, h2])) if len(keys) else \
+            np.empty(0, np.uint64)
+        return pa.table({
+            "shard": pa.array((pos // np.uint64(shard_bits)).astype(np.int64),
+                              pa.int64()),
+            "pos": pa.array(pos, pa.uint64()),
+        })
+
+    def shard_dense(df: pd.DataFrame) -> pd.DataFrame:
+        sid = int(df["shard"].iloc[0])
+        rel = df["pos"].to_numpy(np.uint64) - np.uint64(sid * shard_bits)
+        words = np.zeros(shard_bits // 64, np.uint64)
+        _bloom_scatter(words, rel)
+        return pd.DataFrame({"shard": [sid], "words": [words.tobytes()]})
+
+    parts = (_t(sf_dir, table, columns)
+             .map_batches(bloom_positions, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_dense, batch_format="pandas")
+             ).to_pandas()
+    bloom = np.zeros(m_bits // 64, np.uint64)
+    wps = shard_bits // 64
+    for sid, b in zip(parts["shard"], parts["words"]):
+        bloom[int(sid) * wps:(int(sid) + 1) * wps] |= np.frombuffer(b, np.uint64)
+    return ray.put(bloom), m_bits
+
+
 def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
                       m_bits: int | None = None) -> pd.DataFrame:
     """Semi-join pushdown via a DISTRIBUTED-built Bloom filter:
@@ -1363,62 +1418,10 @@ def q_bloom_semi_join(sf_dir: str, salt_bits: int | None = None,
         ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         return ok[np.isin(pri, PRI)]
 
-    if m_bits is None:
-        # size from the INSERTED key count (~16 bits/key), not the
-        # unfiltered table — one cheap distributed count over the small
-        # side's predicate columns (this is the side the pushdown
-        # exists to avoid shuffling lineitem against, so an extra pass
-        # over it is the right trade)
-        def key_count(batch: pa.Table) -> pa.Table:
-            return pa.table({"p_n": pa.array([len(orders_keys(batch))],
-                                             pa.int64())})
-
-        agg = _t(sf_dir, "orders", orders_cols).map_batches(
-            key_count, batch_format="pyarrow").aggregate(
-            Sum("p_n", alias_name="n"))
-        n_keys = int(agg["n"] or 0)
-        m_bits = 1 << int(np.clip(np.ceil(np.log2(max(n_keys, 1) * 16)),
-                                  16, np.log2(BLOOM_MAX_BITS)))
-    n_words = m_bits // 64
-
-    # Distributed build by POSITION RANGE, not by OR-ing dense block
-    # partials: a dense filter-sized partial per block would make the
-    # reduce payload grow with block count (10^6 blocks x 16 MiB =
-    # 16 TB of partials at corpus scale). Instead each block ships its
-    # deduped set-bit positions (<= 16 B/key — no more than any build-
-    # side shuffle), ONE bounded groupby co-locates each position
-    # range, each shard densifies its <= 2^24-bit slice, and the
-    # driver assembles exactly m_bits/8 bytes no matter how many
-    # blocks fed it.
-    shard_bits = min(m_bits, 1 << 24)
-
-    def bloom_positions(batch: pa.Table) -> pa.Table:
-        keys = orders_keys(batch)
-        h1, h2 = _bloom_hashes(keys, m_bits)
-        pos = np.unique(np.concatenate([h1, h2])) if len(keys) else \
-            np.empty(0, np.uint64)
-        return pa.table({
-            "shard": pa.array((pos // np.uint64(shard_bits)).astype(np.int64),
-                              pa.int64()),
-            "pos": pa.array(pos, pa.uint64()),
-        })
-
-    def shard_dense(df: pd.DataFrame) -> pd.DataFrame:
-        sid = int(df["shard"].iloc[0])
-        rel = df["pos"].to_numpy(np.uint64) - np.uint64(sid * shard_bits)
-        words = np.zeros(shard_bits // 64, np.uint64)
-        _bloom_scatter(words, rel)
-        return pd.DataFrame({"shard": [sid], "words": [words.tobytes()]})
-
-    parts = (_t(sf_dir, "orders", orders_cols)
-             .map_batches(bloom_positions, batch_format="pyarrow")
-             .groupby("shard").map_groups(shard_dense, batch_format="pandas")
-             ).to_pandas()
-    bloom = np.zeros(n_words, np.uint64)
-    wps = shard_bits // 64
-    for sid, b in zip(parts["shard"], parts["words"]):
-        bloom[int(sid) * wps:(int(sid) + 1) * wps] |= np.frombuffer(b, np.uint64)
-    bloom_ref = ray.put(bloom)
+    # build sizing + distributed position-range build live in
+    # ``_build_bloom`` (shared with Q8's partkey pushdown)
+    bloom_ref, m_bits = _build_bloom(
+        sf_dir, "orders", orders_cols, orders_keys, m_bits)
 
     def line_leg(batch: pa.Table) -> pa.Table:
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -3029,9 +3032,15 @@ GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year"""
 
 
+# Q8's partkey bloom pushdown pays for its two extra part passes only
+# past this footer-estimated probe-side size (see q_tpch_q8 docnote).
+Q8_BLOOM_MIN_PROBE_BYTES = 256 << 20
+
+
 def q_tpch_q8(sf_dir: str, target_nation: str = "NATION_3",
               region_name: str = "AMERICA", part_type: str = "PROMO",
-              salt_bits: int | None = None) -> pd.DataFrame:
+              salt_bits: int | None = None,
+              bloom_min_probe_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q8 (national market share; adapted to the fixture
     schema): a THREE-exchange chain, the deepest reshape in the
     relational suite. Exchange A keys on partkey — the 'PROMO'
@@ -3069,13 +3078,41 @@ def q_tpch_q8(sf_dir: str, target_nation: str = "NATION_3",
     lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
     hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
 
-    def part_leg(batch: pa.Table) -> pa.Table:
+    def part_keys(batch: pa.Table) -> np.ndarray:
         batch = batch.filter(pc.equal(batch.column("p_type"), part_type))
-        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        return batch.column("p_partkey").to_numpy(zero_copy_only=False)
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch)
         return _leg6(pk % n_salt, pk, 0, 0, 0, 0)
+
+    # bloom pushdown on the part predicate: only ~1/|p_type| of the
+    # line partials survive exchange A's in-group membership test, so
+    # pre-filter them with a distributed-built partkey bloom (exact —
+    # the exchange still removes the ~2% false positives) instead of
+    # shuffling every lineitem partial just to drop 5/6 of them. The
+    # build costs two extra passes over part, so it only pays once the
+    # probe side is big: gate on footer-estimated lineitem bytes
+    # (measured: at sf0.1 the build costs ~2 s and saves less).
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    if bloom_min_probe_bytes is None:
+        bloom_min_probe_bytes = Q8_BLOOM_MIN_PROBE_BYTES
+    probe_bytes, _ = _footer_stats(
+        f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_extendedprice"])
+    if probe_bytes >= bloom_min_probe_bytes:
+        bloom_ref, m_bits = _build_bloom(
+            sf_dir, "part", ["p_partkey", "p_type"], part_keys)
+    else:
+        bloom_ref = None
 
     def line_leg(batch: pa.Table) -> pa.Table:
         from vyperdatum_ray.core.nputil import isin_sorted
+        if bloom_ref is not None:
+            bkeep = _bloom_test(
+                batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                ray.get(bloom_ref), m_bits)
+            batch = batch.filter(pa.array(bkeep))
         skeys, scodes = ray.get(supp_ref)
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         keep = isin_sorted(sk, skeys)
