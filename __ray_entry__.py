@@ -67,8 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_projected": q.q_transform_projected,
         "transform_stateplane": q.q_transform_stateplane,
         "transform_stateplane_tm": q.q_transform_stateplane_tm,
-        "transform_stateplane_md": q.q_transform_stateplane_md,
-        "transform_stateplane_nj": q.q_transform_stateplane_nj,
+        # round-5 session-4: the two strongest new relational shapes
+        # take the window slots of the MD/NJ state-plane mirrors (zone
+        # siblings of the adjudicated transform_stateplane; both stay
+        # oracle-backed below)
+        "tpch_q10": relational.q_tpch_q10,
+        "tpch_q21": relational.q_tpch_q21,
         "external_region_transform": q.q_external_region_transform,
         "hot_tiles": q.q_hot_tiles,
         "transform_summary": q.q_transform_summary,
@@ -155,18 +159,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": relational.q_running_total,
         "supplier_list_agg": relational.q_supplier_list_agg,
         "full_outer_join": relational.q_full_outer_join,
-        "tpch_q10": relational.q_tpch_q10,
+        "transform_stateplane_md": q.q_transform_stateplane_md,
+        "transform_stateplane_nj": q.q_transform_stateplane_nj,
         "tpch_q15": relational.q_tpch_q15,
         "tpch_q17": relational.q_tpch_q17,
         "tpch_q4": relational.q_tpch_q4,
         "tpch_q9": relational.q_tpch_q9,
         "tpch_q19": relational.q_tpch_q19,
         "tpch_q11": relational.q_tpch_q11,
-        "tpch_q21": relational.q_tpch_q21,
         "tpch_q7": relational.q_tpch_q7,
         "tpch_q8": relational.q_tpch_q8,
         "event_lag_delta": relational.q_event_lag_delta,
         "funnel_conversion": relational.q_funnel_conversion,
+        "tpch_q20": relational.q_tpch_q20,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -671,3 +671,57 @@ def test_q8_bloom_path_matches_direct(ray_session):
     direct = _canon(q_tpch_q8(SF, bloom_min_probe_bytes=1 << 60))
     bloomed = _canon(q_tpch_q8(SF, bloom_min_probe_bytes=0))
     pd.testing.assert_frame_equal(direct, bloomed)
+
+
+def test_q20_salt_width_independence(ray_session):
+    from vyperdatum_ray.pipelines.relational import q_tpch_q20
+
+    base = _canon(q_tpch_q20(SF))
+    forced = _canon(q_tpch_q20(SF, salt_bits=1))
+    pd.testing.assert_frame_equal(base, forced)
+    assert len(base) > 0
+
+
+def test_q20_majority_is_strict(ray_session, tmp_path):
+    """Exactly the fair-share multiple is NOT enough; a supplier over
+    2x fair share for ANY one part qualifies once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_tpch_q20
+
+    d = tmp_path / "q20"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["blue widget", "red widget"], pa.string()),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        # part 1: 10 vs 10 over 2 suppliers -> exactly fair share x1,
+        # nobody over the 2x bar. part 2: 90 vs 10 -> supplier 5 is at
+        # 1.8x... no: q*ns > 2*tot needs q > tot, impossible with 2
+        # suppliers unless one ships > the total. Use 3 suppliers:
+        # part 2: 90, 10, 5 -> supplier 5 at 90*3 = 270 > 2*105 wins.
+        "l_partkey": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([5, 6, 5, 6, 7], pa.int64()),
+        "l_quantity": pa.array([10.0, 10.0, 90.0, 10.0, 5.0], pa.float64()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5, 6, 7], pa.int64()),
+        "s_name": pa.array(["S5", "S6", "S7"], pa.string()),
+    }), d / "supplier.parquet")
+    out = q_tpch_q20(str(d), salt_bits=1)
+    assert out["s_suppkey"].tolist() == [5]
+    assert out["s_name"].tolist() == ["S5"]
+
+
+def test_part_bloom_path_matches_direct(ray_session):
+    """Forcing the partkey bloom pushdown on (budget 0) must not
+    change any of the part-exchange queries' results."""
+    from vyperdatum_ray.pipelines import relational as rel
+
+    for fn in (rel.q_tpch_q9, rel.q_tpch_q17, rel.q_tpch_q19,
+               rel.q_tpch_q20):
+        direct = _canon(fn(SF, bloom_min_probe_bytes=1 << 60))
+        bloomed = _canon(fn(SF, bloom_min_probe_bytes=0))
+        pd.testing.assert_frame_equal(direct, bloomed)

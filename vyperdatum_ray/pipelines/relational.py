@@ -2019,7 +2019,8 @@ FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
 ORDER BY ukey"""
 
 
-def q_tpch_q17(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+def q_tpch_q17(sf_dir: str, salt_bits: int | None = None,
+               bloom_min_probe_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q17 (small-quantity-order revenue; adapted — brand filter
     only, the fixtures have no container): a CORRELATED scalar
     subquery per high-cardinality key. Every line must compare its
@@ -2036,13 +2037,25 @@ def q_tpch_q17(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
             ("l_partkey", "l_quantity", "l_extendedprice"))
     n_salt = 1 << salt_bits
 
-    def part_leg(batch: pa.Table) -> pa.Table:
+    def part_keys(batch: pa.Table) -> np.ndarray:
         pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
         brand = batch.column("p_brand").to_numpy(zero_copy_only=False)
-        pk = pk[brand == "Brand#23"]
+        return pk[brand == "Brand#23"]
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch)
         return _leg(pk % n_salt, pk, 0, 0, np.zeros(len(pk), np.int64))
 
+    # bytes-gated partkey bloom pushdown (see _part_bloom)
+    bloom_ref, m_bits = _part_bloom(
+        sf_dir, part_keys, ["p_partkey", "p_brand"],
+        ["l_partkey", "l_quantity"], bloom_min_probe_bytes)
+
     def line_leg(batch: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            batch = batch.filter(pa.array(_bloom_test(
+                batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                ray.get(bloom_ref), m_bits)))
         k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         qty = np.rint(batch.column("l_quantity").to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
@@ -2413,7 +2426,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
 
 def q_tpch_q9(sf_dir: str, name_like: str = "widget",
-              salt_bits: int | None = None) -> pd.DataFrame:
+              salt_bits: int | None = None,
+              bloom_min_probe_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q9 (product-type profit by nation and year; adapted —
     profit is line revenue, the fixtures lack partsupp supply cost,
     and the year comes straight from l_shipdate so no orders join is
@@ -2437,10 +2451,13 @@ def q_tpch_q9(sf_dir: str, name_like: str = "widget",
     supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
                         supp["s_nationkey"].to_numpy(np.int64).astype(np.int8)))
 
-    def part_leg(batch: pa.Table) -> pa.Table:
+    def part_keys(batch: pa.Table) -> np.ndarray:
         batch = batch.filter(pc.match_substring(
             batch.column("p_name"), name_like))
-        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        return batch.column("p_partkey").to_numpy(zero_copy_only=False)
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch)
         return pa.table({
             "salt": pa.array(pk % n_salt, pa.int64()),
             "k": pa.array(pk, pa.int64()),
@@ -2450,8 +2467,17 @@ def q_tpch_q9(sf_dir: str, name_like: str = "widget",
             "aux": pa.array(np.zeros(len(pk), np.int64), pa.int64()),
         })
 
+    # bytes-gated partkey bloom pushdown (see _part_bloom)
+    bloom_ref, m_bits = _part_bloom(
+        sf_dir, part_keys, ["p_partkey", "p_name"],
+        ["l_partkey", "l_extendedprice"], bloom_min_probe_bytes)
+
     def line_leg(batch: pa.Table) -> pa.Table:
         from vyperdatum_ray.core.nputil import isin_sorted
+        if bloom_ref is not None:
+            batch = batch.filter(pa.array(_bloom_test(
+                batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                ray.get(bloom_ref), m_bits)))
         skeys, scodes = ray.get(supp_ref)
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         keep = isin_sorted(sk, skeys)
@@ -2532,7 +2558,8 @@ Q19_CLAUSES = (("Brand#12", 15, 1.0, 11.0),
                ("Brand#34", 35, 20.0, 30.0))
 
 
-def q_tpch_q19(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
+def q_tpch_q19(sf_dir: str, salt_bits: int | None = None,
+               bloom_min_probe_bytes: int | None = None) -> pd.DataFrame:
     """TPC-H Q19 (discounted revenue under disjunctive predicates;
     adapted — no container/shipmode in the fixtures, the three OR'd
     clauses pair a part-side predicate (brand + size cap) with a
@@ -2570,7 +2597,20 @@ def q_tpch_q19(sf_dir: str, salt_bits: int | None = None) -> pd.DataFrame:
         kk = np.concatenate(out_k)
         return _leg(kk % n_salt, kk, 0, np.concatenate(out_c), 0)
 
+    def part_keys(batch: pa.Table) -> np.ndarray:
+        t = part_leg(batch)
+        return t.column("k").to_numpy(zero_copy_only=False)
+
+    # bytes-gated partkey bloom pushdown (see _part_bloom)
+    bloom_ref, m_bits = _part_bloom(
+        sf_dir, part_keys, ["p_partkey", "p_brand", "p_size"],
+        ["l_partkey", "l_extendedprice"], bloom_min_probe_bytes)
+
     def line_leg(batch: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            batch = batch.filter(pa.array(_bloom_test(
+                batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                ray.get(bloom_ref), m_bits)))
         k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         qty = np.rint(batch.column("l_quantity").to_numpy(
             zero_copy_only=False) * 100.0).astype(np.int64)
@@ -3032,9 +3072,28 @@ GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year"""
 
 
-# Q8's partkey bloom pushdown pays for its two extra part passes only
-# past this footer-estimated probe-side size (see q_tpch_q8 docnote).
-Q8_BLOOM_MIN_PROBE_BYTES = 256 << 20
+# The partkey bloom pushdown (Q8/Q9/Q19/Q20) pays for its two extra
+# part passes only past this footer-estimated probe-side size.
+PART_BLOOM_MIN_PROBE_BYTES = 256 << 20
+
+
+def _part_bloom(sf_dir: str, part_keys_fn, part_columns, probe_columns,
+                bloom_min_probe_bytes: int | None):
+    """Bytes-gated distributed partkey bloom for the queries whose
+    lineitem partials feed a partkey exchange where a part predicate
+    drops most of them. Returns ``(bloom_ref, m_bits)`` or
+    ``(None, 0)`` below the gate — the exchange's in-group membership
+    test keeps the result exact either way (the bloom only cuts
+    shuffle traffic; its ~2% false positives die in-group)."""
+    from vyperdatum_ray.pipelines.textops import _footer_stats
+
+    if bloom_min_probe_bytes is None:
+        bloom_min_probe_bytes = PART_BLOOM_MIN_PROBE_BYTES
+    probe_bytes, _ = _footer_stats(f"{sf_dir}/lineitem.parquet",
+                                   list(probe_columns))
+    if probe_bytes < bloom_min_probe_bytes:
+        return None, 0
+    return _build_bloom(sf_dir, "part", list(part_columns), part_keys_fn)
 
 
 def q_tpch_q8(sf_dir: str, target_nation: str = "NATION_3",
@@ -3092,19 +3151,11 @@ def q_tpch_q8(sf_dir: str, target_nation: str = "NATION_3",
     # the exchange still removes the ~2% false positives) instead of
     # shuffling every lineitem partial just to drop 5/6 of them. The
     # build costs two extra passes over part, so it only pays once the
-    # probe side is big: gate on footer-estimated lineitem bytes
-    # (measured: at sf0.1 the build costs ~2 s and saves less).
-    from vyperdatum_ray.pipelines.textops import _footer_stats
-
-    if bloom_min_probe_bytes is None:
-        bloom_min_probe_bytes = Q8_BLOOM_MIN_PROBE_BYTES
-    probe_bytes, _ = _footer_stats(
-        f"{sf_dir}/lineitem.parquet", ["l_partkey", "l_extendedprice"])
-    if probe_bytes >= bloom_min_probe_bytes:
-        bloom_ref, m_bits = _build_bloom(
-            sf_dir, "part", ["p_partkey", "p_type"], part_keys)
-    else:
-        bloom_ref = None
+    # probe side is big (measured: at sf0.1 it costs ~2 s and saves
+    # less) — the bytes gate lives in ``_part_bloom``.
+    bloom_ref, m_bits = _part_bloom(
+        sf_dir, part_keys, ["p_partkey", "p_type"],
+        ["l_partkey", "l_extendedprice"], bloom_min_probe_bytes)
 
     def line_leg(batch: pa.Table) -> pa.Table:
         from vyperdatum_ray.core.nputil import isin_sorted
@@ -3386,3 +3437,141 @@ c AS (SELECT DISTINCT s.user_id FROM s JOIN events e
        AND e.ts > s.t0)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_converted"""
+
+
+def q_tpch_q20(sf_dir: str, name_like: str = "widget",
+               salt_bits: int | None = None,
+               bloom_min_probe_bytes: int | None = None) -> pd.DataFrame:
+    """TPC-H Q20 (suppliers with excess stock; adapted — "excess" is
+    shipping MORE THAN HALF of a part's total shipped quantity, the
+    fixtures lack partsupp/availqty): a nested per-group aggregate
+    feeding a distinct semi-result. Everything about one part
+    co-locates in its salt group, so the per-(part, supplier) sums,
+    the per-part (total, supplier-count) pair and the
+    ``q * nsupp > 2 * tot`` over-two-fair-shares test (pure int64
+    qty-cents — no division on either side) all resolve in-group; each
+    group emits its qualifying suppkeys DISTINCT, the second bounded
+    exchange de-duplicates across parts and carries the supplier-name
+    membership leg (Q10 lesson), and the driver collects only the
+    supplier-bounded winner set."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/lineitem.parquet",
+            ("l_partkey", "l_suppkey", "l_quantity"))
+    n_salt = 1 << salt_bits
+
+    def part_keys(batch: pa.Table) -> np.ndarray:
+        batch = batch.filter(pc.match_substring(
+            batch.column("p_name"), name_like))
+        return batch.column("p_partkey").to_numpy(zero_copy_only=False)
+
+    def part_leg(batch: pa.Table) -> pa.Table:
+        pk = part_keys(batch)
+        return _leg(pk % n_salt, pk, 0, 0, np.zeros(len(pk), np.int64))
+
+    # bytes-gated partkey bloom pushdown (see _part_bloom)
+    bloom_ref, m_bits = _part_bloom(
+        sf_dir, part_keys, ["p_partkey", "p_name"],
+        ["l_partkey", "l_quantity"], bloom_min_probe_bytes)
+
+    def line_leg(batch: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            batch = batch.filter(pa.array(_bloom_test(
+                batch.column("l_partkey").to_numpy(zero_copy_only=False),
+                ray.get(bloom_ref), m_bits)))
+        qty = np.rint(batch.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({
+            "k": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            "sk": batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            "q": qty,
+        }).groupby(["k", "sk"], as_index=False).agg(q=("q", "sum"))
+        kk = g["k"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(kk % n_salt, pa.int64()),
+            "k": pa.array(kk, pa.int64()),
+            "side": pa.array(np.ones(len(kk), np.int8), pa.int8()),
+            "code": pa.array(np.zeros(len(kk), np.int8), pa.int8()),
+            "aux": pa.array(g["sk"].to_numpy(np.int64), pa.int64()),
+            "q": pa.array(g["q"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def majority_group(df: pd.DataFrame) -> pa.Table:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        pset = np.unique(df.loc[df["side"] == 0, "k"].to_numpy(np.int64))
+        lines = df[df["side"] == 1]
+        keep = isin_sorted(lines["k"].to_numpy(np.int64), pset)
+        l = lines[keep].groupby(["k", "aux"], as_index=False).agg(
+            q=("q", "sum"))
+        tot = l.groupby("k")["q"].transform("sum").to_numpy(np.int64)
+        ns = l.groupby("k")["q"].transform("size").to_numpy(np.int64)
+        win = l["q"].to_numpy(np.int64) * ns > 2 * tot
+        sk = np.unique(l["aux"].to_numpy(np.int64)[win])
+        return pa.table({
+            "salt2": pa.array(sk % n_salt, pa.int64()),
+            "sk": pa.array(sk, pa.int64()),
+            "memb": pa.array(np.zeros(len(sk), np.int8), pa.int8()),
+        })
+
+    def memb_leg(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "salt2": pa.array(sk % n_salt, pa.int64()),
+            "sk": pa.array(sk, pa.int64()),
+            "memb": pa.array(np.ones(len(sk), np.int8), pa.int8()),
+        })
+
+    def distinct_group(df: pd.DataFrame) -> pd.DataFrame:
+        from vyperdatum_ray.core.nputil import isin_sorted
+        known = np.unique(df.loc[df["memb"] == 1, "sk"].to_numpy(np.int64))
+        sk = np.unique(df.loc[df["memb"] == 0, "sk"].to_numpy(np.int64))
+        sk = sk[isin_sorted(sk, known)]
+        return pd.DataFrame({"sk": sk})
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"]
+              ).map_batches(part_leg, batch_format="pyarrow")
+    part = part.map_batches(
+        lambda t: t.append_column("q", pa.array(
+            np.zeros(t.num_rows, np.int64), pa.int64())),
+        batch_format="pyarrow")
+    line = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]
+              ).map_batches(line_leg, batch_format="pyarrow")
+    memb = _t(sf_dir, "supplier", ["s_suppkey"]
+              ).map_batches(memb_leg, batch_format="pyarrow")
+    winners = (part.union(line).groupby("salt").map_groups(
+        majority_group, batch_format="pandas").union(memb)
+        .groupby("salt2").map_groups(
+        distinct_group, batch_format="pandas")).to_pandas()
+
+    if winners.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object)})
+    from vyperdatum_ray.core.nputil import isin_sorted as _member_sorted
+    wanted_ref = ray.put(np.unique(winners["sk"].to_numpy(np.int64)))
+
+    def name_filter(batch: pa.Table) -> pa.Table:
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_member_sorted(sk, ray.get(wanted_ref))))
+
+    names = (_t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(name_filter, batch_format="pyarrow")).to_pandas()
+    names = names.sort_values("s_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": names["s_suppkey"].astype(np.int64).to_numpy(),
+        "s_name": names["s_name"].to_numpy(object),
+    })
+
+
+ORACLES["tpch_q20"] = """
+WITH sq AS (SELECT l_partkey, l_suppkey,
+        sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT l_partkey, sum(q) AS tq, CAST(count(*) AS BIGINT) AS ns
+        FROM sq GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE q * ns > 2 * tq
+ORDER BY s_suppkey"""
