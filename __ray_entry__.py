@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_delta": relational.q_event_lag_delta,
         "funnel_conversion": relational.q_funnel_conversion,
         "tpch_q20": relational.q_tpch_q20,
+        "gap_fill_resample": relational.q_gap_fill_resample,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

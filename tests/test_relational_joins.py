@@ -725,3 +725,29 @@ def test_part_bloom_path_matches_direct(ray_session):
         direct = _canon(fn(SF, bloom_min_probe_bytes=1 << 60))
         bloomed = _canon(fn(SF, bloom_min_probe_bytes=0))
         pd.testing.assert_frame_equal(direct, bloomed)
+
+
+def test_gap_fill_resample_zero_fills(ray_session, tmp_path):
+    """Hours inside the span with no events appear with n_events = 0;
+    the grid is the CROSS of all observed types x all span hours."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_gap_fill_resample
+
+    d = tmp_path / "gaps"
+    d.mkdir()
+    ts = pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 03:20:00",
+                         "2024-01-01 03:40:00"])
+    pq.write_table(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["click", "click", "view"], pa.string()),
+    }), d / "events.parquet")
+    out = q_gap_fill_resample(str(d))
+    # 2 types x 4 hours (00..03) = 8 grid rows
+    assert len(out) == 8
+    clicks = out[out["event_type"] == "click"]["n_events"].tolist()
+    views = out[out["event_type"] == "view"]["n_events"].tolist()
+    assert clicks == [1, 0, 0, 1]
+    assert views == [0, 0, 0, 1]
+    assert out["n_events"].sum() == 3

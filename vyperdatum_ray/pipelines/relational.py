@@ -3575,3 +3575,79 @@ FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
 WHERE q * ns > 2 * tq
 ORDER BY s_suppkey"""
+
+
+def q_gap_fill_resample(sf_dir: str) -> pd.DataFrame:
+    """Time-series resample with gap fill: per-hour event counts per
+    event type over the FULL observed span — hours with no events
+    appear with n = 0 (the left-join-against-a-generated-grid shape a
+    monitoring rollup needs). Blocks pre-reduce to (type, epoch-hour,
+    count) partials; the partial domain is |types| x |hours|, bounded
+    by wall-clock (one decade ~ 9e4 hours) — but the PARTIAL count
+    grows with block count, so a bounded salt exchange on the hour
+    finishes the sums and only the final |types| x |hours| totals
+    reach the driver for the dense grid reindex + zero-fill. The
+    min/max span rides the same totals — no second pass. Type strings
+    leave blocks only as per-block-distinct partial keys, never per
+    event."""
+    n_salt = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        hr = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) // 3_600_000_000
+        g = pd.DataFrame({"event_type": et, "hour": hr}).groupby(
+            ["event_type", "hour"], as_index=False).size()
+        return pa.table({
+            "salt": pa.array(g["hour"].to_numpy(np.int64) % n_salt,
+                             pa.int64()),
+            "event_type": pa.array(g["event_type"].to_numpy(object),
+                                   pa.string()),
+            "hour": pa.array(g["hour"].to_numpy(np.int64), pa.int64()),
+            "p_n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            p_n=("p_n", "sum"))
+        return g.astype({"hour": np.int64, "p_n": np.int64})
+
+    parts = (_t(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("salt").map_groups(totals, batch_format="pandas")
+             ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "hour": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby(["event_type", "hour"], as_index=False).agg(
+        n=("p_n", "sum"))
+    hours = np.arange(agg["hour"].min(), agg["hour"].max() + 1,
+                      dtype=np.int64)
+    types = np.sort(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(index=False)
+    out = grid.merge(agg, on=["event_type", "hour"], how="left")
+    return pd.DataFrame({
+        "event_type": out["event_type"].to_numpy(object),
+        "hour": out["hour"].to_numpy(np.int64),
+        "n_events": np.nan_to_num(
+            out["n"].to_numpy(np.float64)).astype(np.int64),
+    })
+
+
+ORACLES["gap_fill_resample"] = """
+WITH c AS (SELECT event_type,
+        epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+grid AS (SELECT t.event_type, g.h AS hour
+         FROM (SELECT DISTINCT event_type FROM c) t
+         CROSS JOIN (SELECT unnest(generate_series(
+             (SELECT lo FROM span), (SELECT hi FROM span))) AS h) g)
+SELECT grid.event_type, grid.hour,
+       COALESCE(n, 0) AS n_events
+FROM grid LEFT JOIN c ON c.event_type = grid.event_type
+                     AND c.hour = grid.hour
+ORDER BY grid.event_type, grid.hour"""
