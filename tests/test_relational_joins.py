@@ -751,3 +751,84 @@ def test_gap_fill_resample_zero_fills(ray_session, tmp_path):
     assert clicks == [1, 0, 0, 1]
     assert views == [0, 0, 0, 1]
     assert out["n_events"].sum() == 3
+
+
+def test_new_queries_empty_inputs_are_typed(ray_session, tmp_path):
+    """Every session-4 query must survive EMPTY input tables and
+    return its typed empty frame (the pd.Series positional-dtype trap
+    lived exactly in these guards)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines import relational as rel
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_custkey": pa.array([], pa.int64()),
+        "o_orderstatus": pa.array([], pa.string()),
+        "o_orderpriority": pa.array([], pa.string()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "l_partkey": pa.array([], pa.int64()),
+        "l_suppkey": pa.array([], pa.int64()),
+        "l_quantity": pa.array([], pa.float64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+        "l_returnflag": pa.array([], pa.string()),
+        "l_shipdate": pa.array([], pa.timestamp("us")),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "c_nationkey": pa.array([], pa.int64()),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "s_nationkey": pa.array([], pa.int64()),
+    }), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int64()),
+        "p_type": pa.array([], pa.string()),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NATION_3", "NATION_15"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int64()),
+    }), d / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+        "r_name": pa.array(["AMERICA"], pa.string()),
+    }), d / "region.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+    }), d / "events.parquet")
+
+    sd = str(d)
+    assert len(rel.q_tpch_q4(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q9(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q10(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q15(sd, salt_bits=1)) == 0
+    out17 = rel.q_tpch_q17(sd, salt_bits=1)
+    assert len(out17) == 1 and np.isnan(out17["avg_yearly"].iloc[0])
+    out19 = rel.q_tpch_q19(sd, salt_bits=1)
+    assert out19["n_lines"].tolist() == [0]
+    assert len(rel.q_tpch_q20(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q21(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q7(sd, salt_bits=1)) == 0
+    assert len(rel.q_tpch_q8(sd, salt_bits=1)) == 0
+    assert len(rel.q_gap_fill_resample(sd)) == 0
+    assert len(rel.q_event_lag_delta(sd, salt_bits=1).to_pandas()) == 0
+    fc = rel.q_funnel_conversion(sd, salt_bits=1)
+    assert fc["n_signup"].tolist() == [0]
