@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": relational.q_funnel_conversion,
         "tpch_q20": relational.q_tpch_q20,
         "gap_fill_resample": relational.q_gap_fill_resample,
+        "top_price_orders_ties": relational.q_top_price_orders_ties,
+        "repeat_buyers": relational.q_repeat_buyers,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -832,3 +832,124 @@ def test_new_queries_empty_inputs_are_typed(ray_session, tmp_path):
     assert len(rel.q_event_lag_delta(sd, salt_bits=1).to_pandas()) == 0
     fc = rel.q_funnel_conversion(sd, salt_bits=1)
     assert fc["n_signup"].tolist() == [0]
+
+
+def test_top_price_ties_keeps_all_tied_rows(ray_session, tmp_path):
+    """DENSE_RANK semantics: a tie on the k-th distinct price keeps
+    every tied row, and tied prices share one rank."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_top_price_orders_ties
+
+    d = tmp_path / "ties"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"] * 6, pa.string()),
+        # distinct prices: 50 > 40 > 30 > 20; 40 and 30 are tied pairs
+        "o_totalprice": pa.array([50.0, 40.0, 40.0, 30.0, 30.0, 20.0],
+                                 pa.float64()),
+    }), d / "orders.parquet")
+    out = q_top_price_orders_ties(str(d), k=3)
+    # top-3 DISTINCT prices = {50, 40, 30} -> 5 rows survive, 20 drops
+    assert out["o_orderkey"].tolist() == [1, 2, 3, 4, 5]
+    assert out["price_rank"].tolist() == [1, 2, 2, 3, 3]
+
+
+def test_repeat_buyers_requires_both_years(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_repeat_buyers
+
+    d = tmp_path / "rb"
+    d.mkdir()
+    od = pd.to_datetime(["1996-05-01", "1997-06-01", "1996-03-01",
+                         "1997-08-01", "1998-01-01"])
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "o_orderdate": pa.array(od, pa.timestamp("us")),
+    }), d / "orders.parquet")
+    out = q_repeat_buyers(str(d), salt_bits=1)
+    # cust 1: both years -> in; cust 2: only 1996; cust 3: 1997+1998
+    assert out["c_custkey"].tolist() == [1]
+
+
+def _ddb(sf_dir, sql):
+    import duckdb
+    import glob
+    import os
+
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(f)[:-8]
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+    return con.execute(sql).df()
+
+
+def test_q10_q21_randomized_vs_duckdb(ray_session, tmp_path):
+    """Seeded randomized differential test on TINY key spaces so FK
+    gaps, revenue ties and empty salt groups all occur by chance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import (ORACLES, q_tpch_q10,
+                                                     q_tpch_q21)
+
+    for seed in range(5):
+        rng = np.random.RandomState(1000 + seed)
+        d = tmp_path / f"rand{seed}"
+        d.mkdir()
+        n_ord, n_line = 40, 120
+        ok = np.arange(n_ord, dtype=np.int64)
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            # custkeys 0..7 but customer table only knows 0..5 -> gaps
+            "o_custkey": pa.array(rng.randint(0, 8, n_ord), pa.int64()),
+            "o_orderdate": pa.array(pd.to_datetime("1996-01-01")
+                                    + pd.to_timedelta(
+                rng.randint(0, 400, n_ord), unit="D"), pa.timestamp("us")),
+            "o_orderstatus": pa.array(
+                rng.choice(["F", "O"], n_ord), pa.string()),
+        }), d / "orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(rng.randint(0, n_ord, n_line),
+                                   pa.int64()),
+            "l_suppkey": pa.array(rng.randint(0, 4, n_line), pa.int64()),
+            # tiny integer prices -> revenue ties are common
+            "l_extendedprice": pa.array(
+                rng.randint(1, 4, n_line).astype(np.float64), pa.float64()),
+            "l_discount": pa.array(np.zeros(n_line), pa.float64()),
+            "l_returnflag": pa.array(
+                rng.choice(["R", "N"], n_line), pa.string()),
+        }), d / "lineitem.parquet")
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(np.arange(6, dtype=np.int64), pa.int64()),
+            "c_name": pa.array([f"C{i}" for i in range(6)], pa.string()),
+            "c_nationkey": pa.array(rng.randint(0, 2, 6), pa.int64()),
+        }), d / "customer.parquet")
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["N0", "N1"], pa.string()),
+        }), d / "nation.parquet")
+        pq.write_table(pa.table({
+            # supplier 3 missing -> q21 membership drops it
+            "s_suppkey": pa.array([0, 1, 2], pa.int64()),
+            "s_name": pa.array(["S0", "S1", "S2"], pa.string()),
+        }), d / "supplier.parquet")
+
+        got = q_tpch_q10(str(d), salt_bits=2)
+        want = _ddb(str(d), ORACLES["tpch_q10"])
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.astype(got.dtypes.to_dict()).reset_index(drop=True),
+            check_dtype=False), f"q10 seed {seed}"
+
+        got21 = q_tpch_q21(str(d), salt_bits=2)
+        want21 = _ddb(str(d), ORACLES["tpch_q21"])
+        pd.testing.assert_frame_equal(
+            got21.reset_index(drop=True),
+            want21.astype(got21.dtypes.to_dict()).reset_index(drop=True),
+            check_dtype=False), f"q21 seed {seed}"

@@ -3651,3 +3651,144 @@ SELECT grid.event_type, grid.hour,
 FROM grid LEFT JOIN c ON c.event_type = grid.event_type
                      AND c.hour = grid.hour
 ORDER BY grid.event_type, grid.hour"""
+
+
+def q_top_price_orders_ties(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k WITH TIES (DENSE_RANK <= k): every order whose
+    total price is among its priority class's k highest DISTINCT
+    prices — unlike ``top_orders_per_segment``'s row_number top-k, a
+    tie on the k-th value keeps ALL its rows. The partition key is
+    LOW-cardinality (5 priorities), so no per-key exchange can finish
+    locally; instead each block emits its per-priority top-k distinct
+    price partials (<= 5k cents values per block — bounded regardless
+    of block size), the driver merges them into the exact per-priority
+    rank map (distinct top-k is distributive: a value outside a
+    block's local top-k can never enter the global top-k), and a
+    second broadcast pass filters + ranks the full table. Prices
+    compare in int64 cents; the emitted price is the raw float
+    passthrough."""
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pri = pc.cast(pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1), pa.int8()).to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"p": pri, "c": cents}).drop_duplicates()
+        g = g.sort_values(["p", "c"], ascending=[True, False]).groupby(
+            "p", as_index=False).head(k)
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy(np.int8), pa.int8()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        })
+
+    parts = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]
+               ).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                             "o_orderpriority": pd.Series([], dtype=object),
+                             "o_totalprice": pd.Series([], dtype=np.float64),
+                             "price_rank": pd.Series([], dtype=np.int64)})
+    top = parts.drop_duplicates().sort_values(
+        ["p", "c"], ascending=[True, False]).groupby(
+        "p", as_index=False).head(k)
+    top["rank"] = top.groupby("p").cumcount() + 1
+    rank_map = {(int(r.p), int(r.c)): int(r.rank)
+                for r in top.itertuples()}
+    map_ref = ray.put(rank_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        rm = ray.get(map_ref)
+        pri = pc.cast(pc.utf8_slice_codeunits(
+            batch.column("o_orderpriority"), 0, 1), pa.int8()).to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        rank = np.zeros(len(cents), np.int64)
+        for (mp, mc), r in rm.items():      # <= 5k entries, vectorized
+            rank[(pri == mp) & (cents == mc)] = r
+        keep = rank > 0
+        batch = batch.filter(pa.array(keep))
+        return batch.append_column(
+            "price_rank", pa.array(rank[keep], pa.int64()))
+
+    out = (_t(sf_dir, "orders",
+              ["o_orderkey", "o_orderpriority", "o_totalprice"])
+           .map_batches(attach, batch_format="pyarrow")).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                             "o_orderpriority": pd.Series([], dtype=object),
+                             "o_totalprice": pd.Series([], dtype=np.float64),
+                             "price_rank": pd.Series([], dtype=np.int64)})
+    out = out.sort_values(["o_orderpriority", "price_rank", "o_orderkey"]
+                          ).reset_index(drop=True)
+    return pd.DataFrame({
+        "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+        "o_orderpriority": out["o_orderpriority"].to_numpy(object),
+        "o_totalprice": out["o_totalprice"].to_numpy(np.float64),
+        "price_rank": out["price_rank"].to_numpy(np.int64),
+    })
+
+
+ORACLES["top_price_orders_ties"] = """
+WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+    CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+         ORDER BY CAST(round(o_totalprice*100, 0) AS BIGINT) DESC)
+      AS BIGINT) AS price_rank
+  FROM orders)
+SELECT o_orderkey, o_orderpriority, o_totalprice, price_rank
+FROM r WHERE price_rank <= 3
+ORDER BY o_orderpriority, price_rank, o_orderkey"""
+
+
+def q_repeat_buyers(sf_dir: str,
+                    salt_bits: int | None = None) -> pd.DataFrame:
+    """INTERSECT of two filtered projections: customers who placed
+    orders in BOTH 1996 and 1997. Blocks pre-reduce each custkey to a
+    2-bit year mask; a bounded salt exchange ORs the masks (set
+    intersection as an associative bitwise reduce — no row-level
+    distinct shuffle) and each group emits only its both-years keys,
+    a customer-bounded result."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderdate"))
+    n_salt = 1 << salt_bits
+
+    def leg(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = np.where(yr == 1996, 1, np.where(yr == 1997, 2, 0)).astype(
+            np.int64)
+        keep = m > 0
+        g = pd.DataFrame({"ck": ck[keep], "m": m[keep]}).groupby(
+            "ck", as_index=False).agg(m=("m", lambda x: np.bitwise_or.reduce(
+                x.to_numpy(np.int64))))
+        kk = g["ck"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(kk % n_salt, pa.int64()),
+            "ck": pa.array(kk, pa.int64()),
+            "m": pa.array(g["m"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ck", as_index=False).agg(
+            m=("m", lambda x: np.bitwise_or.reduce(x.to_numpy(np.int64))))
+        return pd.DataFrame({
+            "c_custkey": g.loc[g["m"] == 3, "ck"].to_numpy(np.int64)})
+
+    out = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(leg, batch_format="pyarrow")
+           .groupby("salt").map_groups(both, batch_format="pandas")
+           ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ORACLES["repeat_buyers"] = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+ORDER BY c_custkey"""
