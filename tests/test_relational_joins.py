@@ -953,3 +953,104 @@ def test_q10_q21_randomized_vs_duckdb(ray_session, tmp_path):
             got21.reset_index(drop=True),
             want21.astype(got21.dtypes.to_dict()).reset_index(drop=True),
             check_dtype=False), f"q21 seed {seed}"
+
+
+def test_part_family_randomized_vs_duckdb(ray_session, tmp_path):
+    """Seeded randomized differential for the part-exchange family
+    (q4/q9/q15/q17/q19/q20) — tiny domains force ties, FK gaps, empty
+    clauses and all-NULL aggregates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines import relational as rel
+
+    for seed in range(3):
+        rng = np.random.RandomState(2000 + seed)
+        d = tmp_path / f"pf{seed}"
+        d.mkdir()
+        n_ord, n_line, n_part = 30, 100, 12
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64),
+                                   pa.int64()),
+            "o_custkey": pa.array(rng.randint(0, 6, n_ord), pa.int64()),
+            "o_orderdate": pa.array(pd.to_datetime("1995-11-01")
+                                    + pd.to_timedelta(
+                rng.randint(0, 300, n_ord), unit="D"), pa.timestamp("us")),
+            "o_orderstatus": pa.array(
+                rng.choice(["F", "O"], n_ord), pa.string()),
+            "o_orderpriority": pa.array(rng.choice(
+                ["1-URGENT", "2-HIGH", "5-LOW"], n_ord), pa.string()),
+        }), d / "orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(rng.randint(0, n_ord, n_line),
+                                   pa.int64()),
+            "l_partkey": pa.array(rng.randint(0, n_part + 2, n_line),
+                                  pa.int64()),     # some unknown parts
+            "l_suppkey": pa.array(rng.randint(0, 4, n_line), pa.int64()),
+            "l_quantity": pa.array(
+                rng.randint(1, 30, n_line).astype(np.float64),
+                pa.float64()),
+            "l_extendedprice": pa.array(
+                rng.randint(1, 50, n_line).astype(np.float64),
+                pa.float64()),
+            "l_discount": pa.array(
+                rng.randint(0, 5, n_line) / 100.0, pa.float64()),
+            "l_returnflag": pa.array(
+                rng.choice(["R", "N"], n_line), pa.string()),
+            "l_shipdate": pa.array(pd.to_datetime("1995-11-01")
+                                   + pd.to_timedelta(
+                rng.randint(0, 900, n_line), unit="D"), pa.timestamp("us")),
+        }), d / "lineitem.parquet")
+        pq.write_table(pa.table({
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64),
+                                  pa.int64()),
+            "p_name": pa.array(rng.choice(
+                ["blue widget", "red bolt", "big widget"], n_part),
+                pa.string()),
+            "p_brand": pa.array(rng.choice(
+                ["Brand#12", "Brand#23", "Brand#34", "Brand#9"], n_part),
+                pa.string()),
+            "p_size": pa.array(rng.randint(1, 40, n_part), pa.int64()),
+            "p_type": pa.array(rng.choice(
+                ["PROMO", "SMALL"], n_part), pa.string()),
+        }), d / "part.parquet")
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([0, 1, 2], pa.int64()),  # 3 missing
+            "s_name": pa.array(["S0", "S1", "S2"], pa.string()),
+            "s_nationkey": pa.array([0, 1, 0], pa.int64()),
+        }), d / "supplier.parquet")
+        pq.write_table(pa.table({
+            "n_nationkey": pa.array([0, 1], pa.int64()),
+            "n_name": pa.array(["NATION_3", "NATION_15"], pa.string()),
+            "n_regionkey": pa.array([0, 0], pa.int64()),
+        }), d / "nation.parquet")
+        pq.write_table(pa.table({
+            "r_regionkey": pa.array([0], pa.int64()),
+            "r_name": pa.array(["AMERICA"], pa.string()),
+        }), d / "region.parquet")
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(np.arange(5, dtype=np.int64), pa.int64()),
+            "c_name": pa.array([f"C{i}" for i in range(5)], pa.string()),
+            "c_nationkey": pa.array(rng.randint(0, 2, 5), pa.int64()),
+        }), d / "customer.parquet")
+
+        sd = str(d)
+        for name, fn in [
+            ("tpch_q4", lambda s: rel.q_tpch_q4(s, salt_bits=2)),
+            ("tpch_q9", lambda s: rel.q_tpch_q9(s, salt_bits=2)),
+            ("tpch_q15", lambda s: rel.q_tpch_q15(s, salt_bits=2)),
+            ("tpch_q17", lambda s: rel.q_tpch_q17(s, salt_bits=2)),
+            ("tpch_q19", lambda s: rel.q_tpch_q19(s, salt_bits=2)),
+            ("tpch_q20", lambda s: rel.q_tpch_q20(s, salt_bits=2)),
+            ("tpch_q7", lambda s: rel.q_tpch_q7(s, salt_bits=2)),
+            ("tpch_q8", lambda s: rel.q_tpch_q8(s, salt_bits=2)),
+        ]:
+            got = fn(sd).reset_index(drop=True)
+            want = _ddb(sd, rel.ORACLES[name]).reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(
+                    got, want.astype(got.dtypes.to_dict())
+                    if len(want) else got.iloc[:0],
+                    check_dtype=False)
+            except AssertionError as e:
+                raise AssertionError(f"{name} seed {seed}: {e}") from e
