@@ -63,11 +63,26 @@ def _footer_stats(paths, columns=None) -> tuple[int, int]:
     read and extrapolated by file count, so driver cost is O(1) in
     corpus size — production layouts would serve the same numbers from
     a table catalog."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
     if isinstance(paths, (str, bytes)):
         paths = [paths]
-    paths = sorted(paths)
+    # a "table" may be a DIRECTORY of row-group files (the sharded
+    # layout every 100-TB table actually has; ray.data.read_parquet
+    # accepts it transparently) — expand those to their footers
+    expanded = []
+    for p in paths:
+        if isinstance(p, str) and os.path.isdir(p):
+            expanded.extend(glob.glob(os.path.join(p, "**", "*.parquet"),
+                                      recursive=True))
+        else:
+            expanded.append(p)
+    paths = sorted(expanded)
+    if not paths:
+        return 0, 0
     sample = paths[:_FOOTER_SAMPLE_FILES]
     total = 0
     rows = 0
