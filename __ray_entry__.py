@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": textops.q_jsonl_roundtrip,
         "lang_source_pivot": textops.q_lang_source_pivot,
         "lang_source_rollup": textops.q_lang_source_rollup,
+        "lang_source_cube": textops.q_lang_source_cube,
         "source_corr": textops.q_source_corr,
         "lang_source_unpivot": textops.q_lang_source_unpivot,
         "bigram_logprob": textops.q_bigram_logprob,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
                                                   JSONL_ROUNDTRIP_ORACLE,
                                                   LANG_SOURCE_PIVOT_ORACLE,
                                                   LANG_SOURCE_ROLLUP_ORACLE,
+                                                  LANG_SOURCE_CUBE_ORACLE,
                                                   LANG_SOURCE_UNPIVOT_ORACLE,
                                                   SOURCE_CORR_ORACLE,
                                                   STRATIFIED_SAMPLE_ORACLE,
@@ -359,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": JSONL_ROUNDTRIP_ORACLE,
         "lang_source_pivot": LANG_SOURCE_PIVOT_ORACLE,
         "lang_source_rollup": LANG_SOURCE_ROLLUP_ORACLE,
+        "lang_source_cube": LANG_SOURCE_CUBE_ORACLE,
         "source_corr": SOURCE_CORR_ORACLE,
         "lang_source_unpivot": LANG_SOURCE_UNPIVOT_ORACLE,
         "bigram_logprob": BIGRAM_LOGPROB_ORACLE,

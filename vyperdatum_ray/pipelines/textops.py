@@ -2064,6 +2064,32 @@ def q_lang_source_rollup(sf_dir: str) -> pd.DataFrame:
         {"n_docs": np.int64, "sum_chars": np.int64})
 
 
+def q_lang_source_cube(sf_dir: str) -> pd.DataFrame:
+    """Full CUBE aggregate: every grouping set of (lang, source) —
+    the rollup's levels PLUS the source-only marginal — all derived
+    from the SAME single finest-level exchange on the driver (the
+    marginals are sums over a bounded |langs x sources| frame, so a
+    second scan would only re-pay the corpus read)."""
+    fine = q_lang_source_rollup(sf_dir)
+    fine_only = fine[(fine["lang"] != "(all)") & (fine["source"] != "(all)")]
+    by_source = fine_only.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    by_source["lang"] = "(all)"
+    out = pd.concat(
+        [fine, by_source[["lang", "source", "n_docs", "sum_chars"]]],
+        ignore_index=True)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True).astype(
+        {"n_docs": np.int64, "sum_chars": np.int64})
+
+
+LANG_SOURCE_CUBE_ORACLE = """
+SELECT COALESCE(lang, '(all)') AS lang,
+  COALESCE(source, '(all)') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source"""
+
+
 LANG_SOURCE_ROLLUP_ORACLE = """
 SELECT COALESCE(lang, '(all)') AS lang,
   COALESCE(source, '(all)') AS source,
