@@ -1084,3 +1084,25 @@ def test_sharded_table_directory_layout(ray_session, tmp_path):
     assert rows == 4 and nbytes > 0
     out = q_repeat_buyers(str(d))        # salt_bits=None -> estimator
     assert out["c_custkey"].tolist() == [1]
+
+
+def test_run_query_cli(tmp_path):
+    """The generic per-operator CLI writes parquet for both result
+    kinds (Dataset stream and driver-sized frame) in a fresh
+    process."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "cli_q1"
+    r = subprocess.run(
+        [sys.executable, "scripts/run_query.py", "--name", "tpch_q1",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["rows"] == 6
+    import pyarrow.parquet as pq
+    files = list(out.glob("*.parquet"))
+    assert files and sum(
+        pq.ParquetFile(f).metadata.num_rows for f in files) == 6
