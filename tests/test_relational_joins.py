@@ -875,6 +875,10 @@ def test_repeat_buyers_requires_both_years(ray_session, tmp_path):
     # cust 1: both years -> in; cust 2: only 1996; cust 3: 1997+1998
     assert out["c_custkey"].tolist() == [1]
 
+    from vyperdatum_ray.pipelines.relational import q_lapsed_buyers
+    lapsed = q_lapsed_buyers(str(d), salt_bits=1)
+    assert lapsed["c_custkey"].tolist() == [2]
+
 
 def _ddb(sf_dir, sql):
     import duckdb

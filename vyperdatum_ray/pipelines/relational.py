@@ -3792,3 +3792,54 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE EXTRACT(year FROM o_orderdate) = 1997
 ORDER BY c_custkey"""
+
+
+def q_lapsed_buyers(sf_dir: str,
+                    salt_bits: int | None = None) -> pd.DataFrame:
+    """EXCEPT of two filtered projections: customers who ordered in
+    1996 but NOT in 1997 — same associative year-mask reduce as
+    ``repeat_buyers`` (the 2-bit OR), selecting mask == 1996-only."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/orders.parquet", ("o_custkey", "o_orderdate"))
+    n_salt = 1 << salt_bits
+
+    def leg(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = np.where(yr == 1996, 1, np.where(yr == 1997, 2, 0)).astype(
+            np.int64)
+        keep = m > 0
+        g = pd.DataFrame({"ck": ck[keep], "m": m[keep]}).groupby(
+            "ck", as_index=False).agg(m=("m", lambda x: np.bitwise_or.reduce(
+                x.to_numpy(np.int64))))
+        kk = g["ck"].to_numpy(np.int64)
+        return pa.table({
+            "salt": pa.array(kk % n_salt, pa.int64()),
+            "ck": pa.array(kk, pa.int64()),
+            "m": pa.array(g["m"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def only_96(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ck", as_index=False).agg(
+            m=("m", lambda x: np.bitwise_or.reduce(x.to_numpy(np.int64))))
+        return pd.DataFrame({
+            "c_custkey": g.loc[g["m"] == 1, "ck"].to_numpy(np.int64)})
+
+    out = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+           .map_batches(leg, batch_format="pyarrow")
+           .groupby("salt").map_groups(only_96, batch_format="pandas")
+           ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ORACLES["lapsed_buyers"] = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+ORDER BY c_custkey"""
