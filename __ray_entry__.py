@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_price_orders_ties": relational.q_top_price_orders_ties,
         "repeat_buyers": relational.q_repeat_buyers,
         "lapsed_buyers": relational.q_lapsed_buyers,
+        "pareto_parts": relational.q_pareto_parts,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -1110,3 +1110,61 @@ def test_run_query_cli(tmp_path):
     files = list(out.glob("*.parquet"))
     assert files and sum(
         pq.ParquetFile(f).metadata.num_rows for f in files) == 6
+
+
+def test_pareto_front_ties_and_dominance():
+    """Pure-kernel checks: ties on the front survive (no strict
+    inequality), non-strict dominance in EITHER axis kills."""
+    from vyperdatum_ray.pipelines.relational import _pareto_front
+
+    pk = np.array([1, 2, 3, 4, 5], np.int64)
+    size = np.array([1, 1, 2, 2, 3], np.int64)
+    cents = np.array([500, 500, 300, 400, 300], np.int64)
+    fpk, _, _ = _pareto_front(pk, size, cents)
+    # (1,500)+(2,500) tie -> both stay; (2,300) stays; (2,400) and
+    # (3,300) are dominated
+    assert fpk.tolist() == [1, 2, 3]
+    # randomized vs brute force
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = rng.randint(1, 40)
+        pk = np.arange(n, dtype=np.int64)
+        size = rng.randint(1, 6, n).astype(np.int64)
+        cents = rng.randint(1, 6, n).astype(np.int64)
+        fpk, _, _ = _pareto_front(pk, size, cents)
+        brute = [i for i in range(n) if not any(
+            (size[j] <= size[i] and cents[j] <= cents[i]
+             and (size[j] < size[i] or cents[j] < cents[i]))
+            for j in range(n))]
+        assert sorted(fpk.tolist()) == brute
+
+
+def test_pareto_parts_block_split_invariant(ray_session, tmp_path):
+    """The distributed front must not depend on how rows split across
+    blocks: one file vs two shards give the same skyline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_pareto_parts
+
+    rng = np.random.RandomState(11)
+    n = 60
+    pk = np.arange(n, dtype=np.int64)
+    size = rng.randint(1, 8, n).astype(np.int64)
+    price = (rng.randint(1, 9, n) * 1.25).astype(np.float64)
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(pk), "p_size": pa.array(size),
+        "p_retailprice": pa.array(price)}), one / "part.parquet")
+    two = tmp_path / "two"
+    (two / "part.parquet").mkdir(parents=True)
+    for i, sl in enumerate([slice(0, 17), slice(17, n)]):
+        pq.write_table(pa.table({
+            "p_partkey": pa.array(pk[sl]), "p_size": pa.array(size[sl]),
+            "p_retailprice": pa.array(price[sl])}),
+            two / "part.parquet" / f"s{i}.parquet")
+    a = q_pareto_parts(str(one))
+    b = q_pareto_parts(str(two))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -3843,3 +3843,70 @@ EXCEPT
 SELECT o_custkey FROM orders
 WHERE EXTRACT(year FROM o_orderdate) = 1997
 ORDER BY c_custkey"""
+
+
+def _pareto_front(pk: np.ndarray, size: np.ndarray,
+                  cents: np.ndarray):
+    """Vectorized 2-D minimizing Pareto front. A row survives iff its
+    price equals its size's min AND beats every strictly-smaller
+    size's min (ties at the front are kept — neither dominates the
+    other without a strict inequality)."""
+    if len(pk) == 0:
+        return pk, size, cents
+    us, inv = np.unique(size, return_inverse=True)
+    m = np.full(len(us), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(m, inv, cents)
+    before = np.empty(len(us), np.int64)
+    before[0] = np.iinfo(np.int64).max
+    if len(us) > 1:
+        before[1:] = np.minimum.accumulate(m[:-1])
+    keep = (cents == m[inv]) & (cents < before[inv])
+    return pk[keep], size[keep], cents[keep]
+
+
+def q_pareto_parts(sf_dir: str) -> pd.DataFrame:
+    """Skyline (Pareto-dominance) query: the parts no other part beats
+    on BOTH size and retail price (minimize both; ties on the front
+    are kept — dominance needs a strict inequality). The front is
+    DISTRIBUTIVE: the global front is a subset of the union of
+    per-block fronts, so each block emits its local front (bounded by
+    |distinct sizes| plus front ties, never block size) and the driver
+    re-runs the same vectorized filter on the tiny union. Prices
+    compare in int64 cents; the emitted price is the raw float."""
+    def local_front(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        size = batch.column("p_size").to_numpy(zero_copy_only=False)
+        price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        cents = np.rint(price * 100.0).astype(np.int64)
+        fpk, fsize, fcents = _pareto_front(pk, size, cents)
+        return pa.table({
+            "p_partkey": pa.array(fpk, pa.int64()),
+            "p_size": pa.array(fsize, pa.int64()),
+            "cents": pa.array(fcents, pa.int64()),
+        })
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]
+               ).map_batches(local_front, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                             "p_size": pd.Series([], dtype=np.int64),
+                             "price": pd.Series([], dtype=np.float64)})
+    fpk, fsize, fcents = _pareto_front(
+        parts["p_partkey"].to_numpy(np.int64),
+        parts["p_size"].to_numpy(np.int64),
+        parts["cents"].to_numpy(np.int64))
+    out = pd.DataFrame({"p_partkey": fpk, "p_size": fsize,
+                        "price": fcents / 100.0})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+ORACLES["pareto_parts"] = """
+WITH p AS (SELECT p_partkey, p_size,
+             CAST(round(p_retailprice*100, 0) AS BIGINT) AS cents
+           FROM part)
+SELECT a.p_partkey, a.p_size, a.cents / 100.0 AS price
+FROM p a
+WHERE NOT EXISTS (SELECT 1 FROM p b
+  WHERE b.p_size <= a.p_size AND b.cents <= a.cents
+    AND (b.p_size < a.p_size OR b.cents < a.cents))
+ORDER BY a.p_partkey"""
