@@ -1168,3 +1168,142 @@ def test_pareto_parts_block_split_invariant(ray_session, tmp_path):
     b = q_pareto_parts(str(two))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def _write_random_fixture(d, rng):
+    """Full fixture-shaped random TPC-H-ish tables with tiny key
+    spaces: FK gaps, ties, empty groups and NULL-sum aggregates all
+    occur by construction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_ord, n_line, n_part, n_cust, n_supp = 40, 140, 14, 8, 4
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(rng.randint(0, n_cust + 2, n_ord),
+                              pa.int64()),
+        "o_orderstatus": pa.array(rng.choice(["F", "O", "P"], n_ord)),
+        "o_totalprice": pa.array(
+            rng.randint(100, 1000, n_ord) / 4.0, pa.float64()),
+        "o_orderdate": pa.array(pd.to_datetime("1994-06-01")
+                                + pd.to_timedelta(
+            rng.randint(0, 1300, n_ord), unit="D"), pa.timestamp("us")),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"], n_ord)),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.randint(0, n_ord + 3, n_line),
+                               pa.int64()),
+        "l_partkey": pa.array(rng.randint(0, n_part + 2, n_line),
+                              pa.int64()),
+        "l_suppkey": pa.array(rng.randint(0, n_supp + 1, n_line),
+                              pa.int64()),
+        "l_linenumber": pa.array(rng.randint(1, 5, n_line), pa.int64()),
+        "l_quantity": pa.array(
+            rng.randint(1, 60, n_line).astype(np.float64), pa.float64()),
+        "l_extendedprice": pa.array(
+            rng.randint(1, 60, n_line).astype(np.float64), pa.float64()),
+        "l_discount": pa.array(rng.randint(0, 8, n_line) / 100.0,
+                               pa.float64()),
+        "l_tax": pa.array(rng.randint(0, 5, n_line) / 100.0, pa.float64()),
+        "l_returnflag": pa.array(rng.choice(["R", "N", "A"], n_line)),
+        "l_linestatus": pa.array(rng.choice(["F", "O"], n_line)),
+        "l_shipdate": pa.array(pd.to_datetime("1994-06-01")
+                               + pd.to_timedelta(
+            rng.randint(0, 1500, n_line), unit="D"), pa.timestamp("us")),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_name": pa.array(rng.choice(
+            ["blue widget", "red bolt", "big widget", "odd rod"], n_part)),
+        "p_brand": pa.array(rng.choice(
+            ["Brand#12", "Brand#23", "Brand#34", "Brand#9"], n_part)),
+        "p_type": pa.array(rng.choice(["PROMO", "SMALL", "LARGE"], n_part)),
+        "p_size": pa.array(rng.randint(1, 40, n_part), pa.int64()),
+        "p_retailprice": pa.array(
+            rng.randint(10, 90, n_part).astype(np.float64), pa.float64()),
+    }), d / "part.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"C{i}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.randint(0, 2, n_cust), pa.int64()),
+        "c_acctbal": pa.array(
+            rng.randint(-200, 900, n_cust).astype(np.float64) / 4.0,
+            pa.float64()),
+        "c_mktsegment": pa.array(rng.choice(
+            ["BUILDING", "MACHINERY", "AUTOMOBILE"], n_cust)),
+    }), d / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+        "s_name": pa.array([f"S{i}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.randint(0, 2, n_supp), pa.int64()),
+        "s_acctbal": pa.array(
+            rng.randint(0, 500, n_supp).astype(np.float64), pa.float64()),
+    }), d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NATION_3", "NATION_15"]),
+        "n_regionkey": pa.array([0, 0], pa.int64()),
+    }), d / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+        "r_name": pa.array(["AMERICA"]),
+    }), d / "region.parquet")
+    n_ev = 60
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime("2024-01-01")
+                       + pd.to_timedelta(
+            rng.randint(0, 3 * 86400, n_ev), unit="s"), pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, 6, n_ev), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "view", "signup", "purchase", "error"], n_ev)),
+        "value": pa.array(
+            rng.randint(0, 400, n_ev).astype(np.float64) / 4.0,
+            pa.float64()),
+    }), d / "events.parquet")
+
+
+def _canon_any(df):
+    if hasattr(df, "to_pandas") and not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def test_whole_family_randomized_vs_duckdb(ray_session, tmp_path):
+    """The capstone differential: every SQL-backed relational query
+    (incl. every prior-round one) against DuckDB on 3 seeds of
+    adversarial random tables."""
+    from vyperdatum_ray.pipelines import relational as rel
+
+    NAMES = [
+        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q6", "tpch_q9",
+        "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+        "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
+        "semi_anti_join", "min_cost_supplier", "full_outer_join",
+        "supplier_list_agg", "running_total", "event_lag_delta",
+        "funnel_conversion", "gap_fill_resample", "repeat_buyers",
+        "lapsed_buyers", "top_price_orders_ties", "pareto_parts",
+    ]
+    import __ray_entry__ as entrymod
+
+    registry = entrymod.queries()
+    for seed in range(3):
+        rng = np.random.RandomState(4000 + seed)
+        d = tmp_path / f"fam{seed}"
+        d.mkdir()
+        _write_random_fixture(d, rng)
+        for name in NAMES:
+            got = _canon_any(registry[name](str(d)))
+            want = _canon_any(_ddb(str(d), rel.ORACLES[name]))
+            try:
+                if len(got) == 0 and len(want) == 0:
+                    continue
+                pd.testing.assert_frame_equal(
+                    got, want.astype(got.dtypes.to_dict()),
+                    check_dtype=False)
+            except Exception as e:
+                raise AssertionError(f"{name} seed {seed}: {e}") from e

@@ -376,11 +376,15 @@ def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
         return pa.table({"o_orderkey": pa.array(
             batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep])})
 
-    okeys = (
+    odf = (
         _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(filter_orders, batch_format="pyarrow")
-        .to_pandas()["o_orderkey"].to_numpy()
+        .to_pandas()
     )
+    # all-empty block sets can surface as a COLUMNLESS frame (empty
+    # blocks may drop their schema on collect) — guard it
+    okeys = (odf["o_orderkey"].to_numpy() if "o_orderkey" in odf.columns
+             else np.empty(0, np.int64))
     okeys_ref = ray.put(np.sort(okeys))
 
     def revenue_partial(batch: pa.Table) -> pa.Table:
@@ -413,6 +417,9 @@ def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
     cand = (ds.map_batches(revenue_partial, batch_format="pyarrow")
             .groupby("salt").map_groups(local_topk, batch_format="pandas")
             ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=np.float64)})
     cand = cand.sort_values(["rev", "l_orderkey"], ascending=[False, True]).head(10)
     return pd.DataFrame({"l_orderkey": cand["l_orderkey"].to_numpy(),
                          "revenue": cand["rev"].to_numpy() / 10000.0})
