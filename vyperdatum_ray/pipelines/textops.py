@@ -1093,9 +1093,12 @@ def q_neardup_jaccard(sf_dir: str, tau: float = 0.5, k_salt: int = 256,
         return pa.table({"id": pc.unique(both)})
 
     # collect ONLY the candidate id set (bounded by LSH output) and
-    # broadcast it to pre-filter the doc stream
+    # broadcast it to pre-filter the doc stream; an all-empty block
+    # set can collect as a COLUMNLESS frame (the q3 lesson) — guard it
+    _cdf = raw.map_batches(id_partial, batch_format="pyarrow").to_pandas()
     cand_ids = np.unique(
-        raw.map_batches(id_partial, batch_format="pyarrow").to_pandas()["id"].to_numpy()
+        _cdf["id"].to_numpy() if "id" in _cdf.columns
+        else np.empty(0, np.int64)
     ).astype(np.int64)
     cand_ids_ref = ray.put(cand_ids)
 
