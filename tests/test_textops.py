@@ -550,3 +550,81 @@ def test_pca_embeddings_matches_numpy(ray_session):
     np.testing.assert_allclose(g, np.eye(PCA_K), atol=1e-10)
     var = proj.var(axis=0)
     assert (np.diff(var) <= 1e-9).all()
+
+
+def test_docs_family_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized differential for the documents-table oracle-backed
+    queries: adversarial token soup, empty and whitespace-only texts.
+    (url_dedup / domain_quality / dedup_normalized / top_hosts /
+    line_dedup are excluded — they and their oracles read the derived
+    PAGES fixture, not the documents view.)"""
+    import glob
+    import os
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    reg = entrymod.queries()
+    orc = entrymod.oracle_sql()
+
+    def ddb(sf_dir, sql):
+        con = duckdb.connect()
+        for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            t = os.path.basename(f)[:-8]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{f}')")
+        return con.execute(sql).df()
+
+    def canon(df):
+        if hasattr(df, "to_pandas") and not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        df = df[sorted(df.columns)]
+        if len(df):
+            df = df.sort_values(list(df.columns), kind="mergesort")
+        return df.reset_index(drop=True)
+
+    WORDS = ["the", "quick", "brown", "fox", "la", "le", "der", "die",
+             "und", "data", "ray", "engine", "query", "10", "x1", "...",
+             "!!!", "a", "I", "been"]
+    NAMES = ["token_freq", "quality_score", "langid", "lang_token_stats",
+             "token_dedup_stats", "dedup_exact", "sample_documents",
+             "token_percentiles", "lang_source_pivot",
+             "lang_source_rollup", "lang_source_cube", "source_corr",
+             "repetition_stats", "gopher_quality", "token_count_bpe"]
+    for seed in range(2):
+        rng = np.random.RandomState(7000 + seed)
+        d = tmp_path / f"docs{seed}"
+        d.mkdir()
+        n = 80
+        texts = [" ".join(rng.choice(WORDS, rng.randint(0, 40)))
+                 for _ in range(n)]
+        texts[0] = ""
+        texts[1] = "   "
+        pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n)),
+            "source": pa.array(rng.choice(["web", "book"], n)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "url": pa.array(
+                [f"https://h{rng.randint(0, 5)}.com/p/{i}?q=1#f"
+                 for i in range(n)], pa.string()),
+        }), d / "documents.parquet")
+        for name in NAMES:
+            if name not in orc:
+                continue
+            got = canon(reg[name](str(d)))
+            want = canon(ddb(str(d), orc[name]))
+            if len(got) == 0 and len(want) == 0:
+                continue
+            try:
+                pd.testing.assert_frame_equal(
+                    got, want.astype(got.dtypes.to_dict()),
+                    check_dtype=False)
+            except Exception as e:
+                raise AssertionError(f"{name} seed {seed}: {e}") from e
