@@ -1287,6 +1287,9 @@ def test_whole_family_randomized_vs_duckdb(ray_session, tmp_path):
         "supplier_list_agg", "running_total", "event_lag_delta",
         "funnel_conversion", "gap_fill_resample", "repeat_buyers",
         "lapsed_buyers", "top_price_orders_ties", "pareto_parts",
+        "events_window", "events_sliding", "sessionize", "asof_join",
+        "session_join", "orders_customer_join", "top_orders",
+        "top_orders_per_segment",
     ]
     import __ray_entry__ as entrymod
 
