@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_buyers": relational.q_repeat_buyers,
         "lapsed_buyers": relational.q_lapsed_buyers,
         "pareto_parts": relational.q_pareto_parts,
+        "price_band_join": relational.q_price_band_join,
         # Tail of the oracle-backed block: entries whose semantics are
         # REDUNDANTLY covered by an adjudicated sibling or by tests, so
         # they are the cheapest to lose if the driver stops at 50

@@ -1310,3 +1310,41 @@ def test_whole_family_randomized_vs_duckdb(ray_session, tmp_path):
                     check_dtype=False)
             except Exception as e:
                 raise AssertionError(f"{name} seed {seed}: {e}") from e
+
+
+def test_price_band_join_boundary_and_brute(ray_session, tmp_path):
+    """Band join: pairs straddling a bucket boundary and exact-band
+    ties must appear exactly once; randomized brute-force check."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vyperdatum_ray.pipelines.relational import q_price_band_join
+
+    rng = np.random.RandomState(23)
+    d = tmp_path / "band"
+    d.mkdir()
+    n = 50
+    # cents clustered so bands are dense, incl. exact boundary values
+    cents = np.concatenate([
+        rng.randint(950, 1150, n - 4),
+        np.array([900, 1000, 1000, 1100]),   # bucket edges + dup price
+    ]).astype(np.int64)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(len(cents), dtype=np.int64)),
+        "p_retailprice": pa.array(cents / 100.0, pa.float64()),
+    }), d / "part.parquet")
+    out = q_price_band_join(str(d), salt_bits=1)
+    got = set(zip(out["pk_a"], out["pk_b"]))
+    want = set()
+    for i, j in itertools.combinations(range(len(cents)), 2):
+        if abs(int(cents[i]) - int(cents[j])) <= 100:
+            want.add((min(i, j), max(i, j)))
+    assert got == want
+    assert len(out) == len(got)          # no duplicate pair rows
+    # signed diff is (later key cents - earlier key cents)
+    for r in out.itertuples():
+        assert abs(r.price_diff) <= 1.0 + 1e-9
+        assert np.isclose(
+            r.price_diff, (cents[int(r.pk_b)] - cents[int(r.pk_a)]) / 100.0)

@@ -3917,3 +3917,113 @@ WHERE NOT EXISTS (SELECT 1 FROM p b
   WHERE b.p_size <= a.p_size AND b.cents <= a.cents
     AND (b.p_size < a.p_size OR b.cents < a.cents))
 ORDER BY a.p_partkey"""
+
+
+def q_price_band_join(sf_dir: str, band_cents: int = 100,
+                      salt_bits: int | None = None) -> pd.DataFrame:
+    """Numeric BAND self-join (range join on a value, not time —
+    the temporal variants are ``asof_join`` / ``session_join``): all
+    part pairs whose retail prices differ by <= $1. The classic
+    banded-bucket shape: each row lands in bucket ``cents // band``
+    and ALSO ghosts into the next bucket, so every qualifying pair
+    co-locates exactly once — same-bucket pairs as (real, real),
+    cross-boundary pairs as (ghost-from-below, real) — and no
+    all-pairs comparison ever happens (per-bucket work is |bucket|^2
+    only within the band width). Buckets ride a bounded salt
+    exchange; in-group pairing is a vectorized sort + searchsorted
+    window expansion, no Python loop over rows."""
+    if salt_bits is None:
+        salt_bits = _join_salt_bits(
+            f"{sf_dir}/part.parquet", ("p_partkey", "p_retailprice"))
+    n_salt = 1 << salt_bits
+
+    def leg(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("p_retailprice").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        b = cents // band_cents
+        # real copy in its own bucket + ghost copy in the next
+        bb = np.concatenate([b, b + 1])
+        return pa.table({
+            "salt": pa.array(bb % n_salt, pa.int64()),
+            "bucket": pa.array(bb, pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+            "cents": pa.array(np.concatenate([cents, cents]), pa.int64()),
+            "ghost": pa.array(np.concatenate(
+                [np.zeros(len(pk), np.int8), np.ones(len(pk), np.int8)]),
+                pa.int8()),
+        })
+
+    def pair_group(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b, g in df.groupby("bucket"):
+            reals = g[g["ghost"] == 0].sort_values(["cents", "pk"])
+            if reals.empty:
+                continue
+            rc = reals["cents"].to_numpy(np.int64)
+            rpk = reals["pk"].to_numpy(np.int64)
+            # real-real pairs within the bucket: for row i, partners
+            # are the later-sorted rows within band (j > i, no dupes)
+            hi = np.searchsorted(rc, rc + band_cents, side="right")
+            idx = np.arange(len(rc))
+            n_part = hi - idx - 1
+            if n_part.sum() > 0:
+                ia = np.repeat(idx, n_part)
+                off = np.concatenate([np.arange(1, k + 1) for k in n_part
+                                      if k > 0]) if n_part.max() > 0 else \
+                    np.empty(0, np.int64)
+                ib = ia + off
+                outs.append((rpk[ia], rpk[ib], rc[ia], rc[ib]))
+            ghosts = g[g["ghost"] == 1].sort_values(["cents", "pk"])
+            if not ghosts.empty:
+                gc = ghosts["cents"].to_numpy(np.int64)
+                gpk = ghosts["pk"].to_numpy(np.int64)
+                # ghost (bucket below) x real pairs within band
+                lo = np.searchsorted(rc, gc - band_cents, side="left")
+                hi2 = np.searchsorted(rc, gc + band_cents, side="right")
+                n2 = hi2 - lo
+                if n2.sum() > 0:
+                    ia = np.repeat(np.arange(len(gc)), n2)
+                    off = np.concatenate(
+                        [np.arange(k) for k in n2 if k > 0])
+                    ib = np.repeat(lo, n2) + off
+                    outs.append((gpk[ia], rpk[ib], gc[ia], rc[ib]))
+        if not outs:
+            return pd.DataFrame({"pk_a": np.empty(0, np.int64),
+                                 "pk_b": np.empty(0, np.int64),
+                                 "price_diff": np.empty(0, np.float64)})
+        a = np.concatenate([o[0] for o in outs])
+        bq = np.concatenate([o[1] for o in outs])
+        ca = np.concatenate([o[2] for o in outs])
+        cb = np.concatenate([o[3] for o in outs])
+        # canonical pair order (smaller partkey first) + signed diff
+        swap = a > bq
+        pa_, pb_ = np.where(swap, bq, a), np.where(swap, a, bq)
+        da = np.where(swap, cb, ca)
+        db = np.where(swap, ca, cb)
+        keep = pa_ != pb_
+        return pd.DataFrame({
+            "pk_a": pa_[keep], "pk_b": pb_[keep],
+            "price_diff": (db[keep] - da[keep]) / 100.0,
+        })
+
+    out = (_t(sf_dir, "part", ["p_partkey", "p_retailprice"])
+           .map_batches(leg, batch_format="pyarrow")
+           .groupby("salt").map_groups(pair_group, batch_format="pandas")
+           ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"pk_a": pd.Series([], dtype=np.int64),
+                             "pk_b": pd.Series([], dtype=np.int64),
+                             "price_diff": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["pk_a", "pk_b"]).reset_index(drop=True)
+
+
+ORACLES["price_band_join"] = """
+WITH p AS (SELECT p_partkey,
+             CAST(round(p_retailprice*100, 0) AS BIGINT) AS cents
+           FROM part)
+SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+       (b.cents - a.cents) / 100.0 AS price_diff
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+  AND abs(a.cents - b.cents) <= 100
+ORDER BY pk_a, pk_b"""
