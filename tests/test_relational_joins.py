@@ -1289,7 +1289,7 @@ def test_whole_family_randomized_vs_duckdb(ray_session, tmp_path):
         "lapsed_buyers", "top_price_orders_ties", "pareto_parts",
         "events_window", "events_sliding", "sessionize", "asof_join",
         "session_join", "orders_customer_join", "top_orders",
-        "top_orders_per_segment",
+        "top_orders_per_segment", "price_band_join",
     ]
     import __ray_entry__ as entrymod
 
