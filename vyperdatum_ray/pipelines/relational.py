@@ -8,6 +8,12 @@ All money/quantity sums are rounded to 2 decimals: the inputs are
 2-decimal quantities, so group sums are (decimal) multiples of 0.01 and
 rounding makes them independent of float summation order across
 partitions.
+
+Data contract: the TPC-H-ish columns are NON-NULL (the driver's
+fixtures and TPC-H itself guarantee it); the `to_numpy` fast paths
+rely on that, and SQL NULL-propagation semantics are exercised where
+they genuinely arise (outer joins' missing sides, empty-aggregate
+NULLs, LAG/LEAD partition edges) rather than per input cell.
 """
 
 from __future__ import annotations
